@@ -1,0 +1,23 @@
+"""e2e_asr_pytorch_tpu — a TPU-native (JAX/XLA/Pallas/pjit) end-to-end ASR framework.
+
+A from-scratch rebuild of the capabilities of DanielLin94144/E2E-ASR-Pytorch
+(joint CTC-attention LAS recipe for LibriSpeech) designed TPU-first:
+
+- ``ops``      — pure JAX/Pallas compute ops (fbank front-end, scan RNNs,
+                 CTC loss, attention energies, SpecAugment, losses).
+- ``models``   — functional model definitions (explicit param pytrees):
+                 VGG frontends + BLSTM encoder, LAS attention decoder,
+                 joint ASR model, RNN language model, embedding plugin.
+- ``decode``   — fully batched on-device greedy & beam search with joint
+                 CTC prefix scoring, RNNLM shallow fusion and <eos> threshold.
+- ``data``     — host-side corpus index / tokenizers / length-bucketed
+                 static-shape batching with device prefetch.
+- ``parallel`` — jax.sharding Mesh construction and sharding rules
+                 (data/model parallel) used by the pjit train steps.
+- ``train``    — task solvers (ASR / LM / test) mirroring the reference's
+                 3-phase lifecycle: load_data() -> set_model() -> exec().
+- ``utils``    — config schema (reference-YAML compatible), metrics
+                 (WER/CER via native C++ Levenshtein), logging, timer.
+"""
+
+__version__ = "0.1.0"

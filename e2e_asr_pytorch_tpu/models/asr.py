@@ -1,0 +1,260 @@
+"""Joint CTC-attention ASR model (LAS + CTC head), fully scan-compiled.
+
+Functional rebuild of the reference ASR/Decoder/Attention composite
+(reference: src/asr.py:13-364). Differences that make it TPU-native:
+
+  * the per-label-step Python loop (reference src/asr.py:136-170) is a single
+    ``lax.scan`` over decode steps — one XLA program instead of T kernel
+    launches; decoder/attention state is an explicit carry pytree;
+  * scheduled sampling happens inside the scan: one Bernoulli(tf_rate) coin
+    per step selects teacher embedding vs a Categorical sample from the
+    step's softmax (reference src/asr.py:145-158);
+  * the CTC head keeps the reference's Linear->ReLU->log_softmax form
+    (reference src/asr.py:29-32,116-120);
+  * a single-step closure (``decode_step_fn``) exposes the exact same math
+    to greedy/beam decoding so training and inference share one code path.
+
+The YAML ``model:`` block maps 1:1 onto ``build_spec``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_pytorch_tpu.models import encoder as E
+from e2e_asr_pytorch_tpu.ops import attention as A
+from e2e_asr_pytorch_tpu.ops import rnn as R
+
+
+class DecoderSpec(NamedTuple):
+    module: str         # LSTM | GRU
+    dim: int
+    layer: int
+    dropout: float
+    in_dim: int         # enc_out_dim + emb_dim
+    vocab_size: int
+
+
+class ASRSpec(NamedTuple):
+    input_size: int
+    vocab_size: int
+    ctc_weight: float
+    encoder: E.EncoderSpec
+    attention: Optional[A.AttnConfig]
+    decoder: Optional[DecoderSpec]
+    emb_drop: float = 0.0
+
+    @property
+    def enable_ctc(self) -> bool:
+        return self.ctc_weight > 0
+
+    @property
+    def enable_att(self) -> bool:
+        return self.ctc_weight != 1
+
+
+def build_spec(input_size: int, vocab_size: int, ctc_weight: float,
+               encoder: Dict, attention: Dict, decoder: Dict,
+               emb_drop: float = 0.0, init_adadelta: bool = True) -> ASRSpec:
+    """Construct the static model spec from the YAML ``model:`` block."""
+    assert 0 <= ctc_weight <= 1
+    enc = E.make_spec(input_size, **encoder)
+    attn_cfg = None
+    dec = None
+    if ctc_weight != 1:
+        dec_dim = decoder["dim"]
+        dec = DecoderSpec(decoder["module"], dec_dim, decoder["layer"],
+                          decoder["dropout"], enc.out_dim + dec_dim, vocab_size)
+        attn_cfg = A.AttnConfig(
+            mode=attention["mode"].lower(), dim=attention["dim"],
+            num_head=attention["num_head"],
+            temperature=attention["temperature"],
+            v_proj=attention["v_proj"], v_dim=enc.out_dim,
+            q_dim=dec_dim * decoder["layer"],
+            loc_kernel_size=attention.get("loc_kernel_size", 100),
+            loc_kernel_num=attention.get("loc_kernel_num", 10))
+    return ASRSpec(input_size, vocab_size, ctc_weight, enc, attn_cfg, dec,
+                   emb_drop)
+
+
+def asr_init(key: jax.Array, spec: ASRSpec) -> Dict:
+    ks = jax.random.split(key, 6)
+    params: Dict = {"encoder": E.encoder_init(ks[0], spec.encoder)}
+    if spec.enable_ctc:
+        params["ctc_layer"] = R.espnet_linear_init(
+            ks[1], spec.encoder.out_dim, spec.vocab_size)
+    if spec.enable_att:
+        dec = spec.decoder
+        # embedding ~ N(0,1) (reference src/util.py:62-63)
+        params["pre_embed"] = jax.random.normal(
+            ks[2], (spec.vocab_size, dec.dim), jnp.float32)
+        # decoder stack with forget-gate bias init (reference src/asr.py:45-50)
+        params["decoder"] = {
+            "layers": R.stacked_init(ks[3], dec.module, dec.in_dim, dec.dim,
+                                     dec.layer, forget_bias=(dec.module == "LSTM")),
+            "char_trans": R.espnet_linear_init(ks[4], dec.dim, dec.vocab_size),
+        }
+        params["attention"] = A.attention_init(ks[5], spec.attention)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# pieces shared by training forward and beam/greedy decoding
+# ---------------------------------------------------------------------------
+
+def ctc_log_probs(params: Dict, spec: ASRSpec, enc_feat: jnp.ndarray,
+                  compute_dtype=jnp.float32) -> jnp.ndarray:
+    logits = jax.nn.relu(R.linear(params["ctc_layer"], enc_feat, compute_dtype))
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+def dec_zero_state(spec: ASRSpec, batch: int):
+    return R.stacked_zero_state(spec.decoder.module, spec.decoder.layer,
+                                batch, spec.decoder.dim)
+
+
+def dec_query(spec: ASRSpec, state) -> jnp.ndarray:
+    """Concat hidden states of all decoder layers: (L,B,H) -> (B, L*H)
+    (reference src/asr.py:252-257)."""
+    h = state[0] if spec.decoder.module == "LSTM" else state
+    return jnp.swapaxes(h, 0, 1).reshape(h.shape[1], -1)
+
+
+def embed_tokens(params: Dict, tokens: jnp.ndarray, emb_drop: float,
+                 rng: Optional[jax.Array], train: bool) -> jnp.ndarray:
+    emb = params["pre_embed"][tokens]
+    if train and emb_drop > 0 and rng is not None:
+        keep = 1.0 - emb_drop
+        emb = emb * jax.random.bernoulli(rng, keep, emb.shape) / keep
+    return emb
+
+
+def decoder_rnn_step(params: Dict, spec: ASRSpec, dec_in: jnp.ndarray, state,
+                     rng: Optional[jax.Array] = None, train: bool = False,
+                     compute_dtype=jnp.float32):
+    """One decoder RNN step + vocab projection.
+
+    Returns (char_logits (B,V), d_state (B,H), new_state)."""
+    dec = spec.decoder
+    out, new_state = R.stacked_step(params["decoder"]["layers"], dec.module,
+                                    dec_in, state, dropout=dec.dropout,
+                                    rng=rng, train=train,
+                                    compute_dtype=compute_dtype)
+    d_state = out
+    if train and dec.dropout > 0 and rng is not None:
+        keep = 1.0 - dec.dropout
+        out = out * jax.random.bernoulli(jax.random.fold_in(rng, 1), keep,
+                                         out.shape) / keep
+    logits = R.linear(params["decoder"]["char_trans"], out, compute_dtype)
+    return logits, d_state, new_state
+
+
+def attend_and_decode(params: Dict, spec: ASRSpec, cache: Dict,
+                      last_emb: jnp.ndarray, dec_state, prev_att,
+                      rng: Optional[jax.Array] = None, train: bool = False,
+                      compute_dtype=jnp.float32):
+    """The (attend -> concat -> decoder step) unit shared everywhere."""
+    query = dec_query(spec, dec_state)
+    context, attn, new_prev_att = A.attention_step(
+        params["attention"], spec.attention, query, cache, prev_att,
+        compute_dtype)
+    dec_in = jnp.concatenate([last_emb, context], axis=-1)
+    logits, d_state, new_state = decoder_rnn_step(
+        params, spec, dec_in, dec_state, rng, train, compute_dtype)
+    return logits, attn, d_state, new_state, new_prev_att
+
+
+# ---------------------------------------------------------------------------
+# full forward (training / validation)
+# ---------------------------------------------------------------------------
+
+def asr_apply(params: Dict, spec: ASRSpec, feat: jnp.ndarray,
+              feat_len: jnp.ndarray, decode_step: int, tf_rate: float = 0.0,
+              teacher: Optional[jnp.ndarray] = None,
+              rng: Optional[jax.Array] = None, train: bool = False,
+              get_dec_state: bool = False, get_logit: bool = False,
+              compute_dtype=jnp.float32):
+    """Forward pass.
+
+    Returns (ctc_output, encode_len, att_output, att_align, dec_state) with
+    the same meaning as the reference's ASR.forward (src/asr.py:89-177).
+    """
+    b = feat.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rng_enc, rng_dec, rng_emb, rng_tf = jax.random.split(rng, 4)
+
+    enc_feat, enc_len = E.encoder_apply(
+        params["encoder"], spec.encoder, feat, feat_len, rng_enc, train,
+        compute_dtype)
+
+    ctc_output = None
+    if spec.enable_ctc:
+        if get_logit:
+            ctc_output = jax.nn.relu(
+                R.linear(params["ctc_layer"], enc_feat, compute_dtype))
+        else:
+            ctc_output = ctc_log_probs(params, spec, enc_feat, compute_dtype)
+
+    att_output = att_align = dec_states = None
+    if spec.enable_att:
+        t_enc = enc_feat.shape[1]
+        cache = A.precompute(params["attention"], spec.attention, enc_feat,
+                             enc_len, compute_dtype)
+        prev_att = A.init_prev_att(enc_len, t_enc, spec.attention.num_head)
+        dec_state0 = dec_zero_state(spec, b)
+        sos = jnp.zeros((b,), jnp.int32)
+        last_emb0 = embed_tokens(params, sos, spec.emb_drop, rng_emb, train)
+
+        if teacher is not None:
+            teacher_emb = embed_tokens(params, teacher, spec.emb_drop,
+                                       jax.random.fold_in(rng_emb, 1), train)
+            # pad/truncate teacher to decode_step along time
+            lt = teacher_emb.shape[1]
+            if lt < decode_step:
+                teacher_emb = jnp.pad(teacher_emb,
+                                      ((0, 0), (0, decode_step - lt), (0, 0)))
+            else:
+                teacher_emb = teacher_emb[:, :decode_step]
+            teacher_emb_t = jnp.swapaxes(teacher_emb, 0, 1)  # (T,B,E)
+        else:
+            teacher_emb_t = None
+
+        step_rngs = jax.random.split(rng_dec, decode_step)
+        coin_rngs = jax.random.split(rng_tf, decode_step)
+
+        def step(carry, xs):
+            dec_state, prev_att, last_emb = carry
+            step_rng, coin_rng, teacher_t = xs
+            logits, attn, d_state, dec_state, prev_att = attend_and_decode(
+                params, spec, cache, last_emb, dec_state, prev_att,
+                step_rng, train, compute_dtype)
+            if teacher_emb_t is not None:
+                k_coin, k_samp, k_drop = jax.random.split(coin_rng, 3)
+                use_tf = jax.random.uniform(k_coin) <= tf_rate
+                sampled = jax.random.categorical(k_samp, logits, axis=-1)
+                sampled_emb = embed_tokens(params, sampled, spec.emb_drop,
+                                           k_drop, train)
+                next_emb = jnp.where(use_tf, teacher_t, sampled_emb)
+            else:
+                top1 = jnp.argmax(logits, axis=-1)
+                next_emb = embed_tokens(params, top1, spec.emb_drop, None, False)
+            out = (logits, attn, d_state) if get_dec_state else (logits, attn)
+            return (dec_state, prev_att, next_emb), out
+
+        xs = (step_rngs, coin_rngs,
+              teacher_emb_t if teacher_emb_t is not None
+              else jnp.zeros((decode_step, b, 1), jnp.float32))
+        _, ys = jax.lax.scan(step, (dec_state0, prev_att, last_emb0), xs)
+        if get_dec_state:
+            logits_t, attn_t, dstate_t = ys
+            dec_states = jnp.swapaxes(dstate_t, 0, 1)         # B,L,H
+        else:
+            logits_t, attn_t = ys
+        att_output = jnp.swapaxes(logits_t, 0, 1)              # B,L,V
+        att_align = jnp.transpose(attn_t, (1, 2, 0, 3))        # B,N,L,T
+
+    return ctc_output, enc_len, att_output, att_align, dec_states

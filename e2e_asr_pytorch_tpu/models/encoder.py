@@ -1,0 +1,162 @@
+"""Listener: conv frontend + (B)LSTM/GRU/liGRU stack with time downsampling.
+
+Functional rebuild of the reference Encoder / RNNLayer (reference:
+src/asr.py:390-477, src/module.py:1003-1081). Each RNN layer optionally adds
+LayerNorm, dropout, time downsampling ('drop' slicing or 'concat' reshape) and
+a tanh-Linear projection; the YAML ``encoder:`` block keys are the spec fields
+so reference configs construct this directly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_pytorch_tpu.models import frontend as F
+from e2e_asr_pytorch_tpu.ops import rnn as R
+
+
+class EncoderSpec(NamedTuple):
+    input_size: int
+    frontend: Optional[F.FrontendSpec]
+    module: str                      # LSTM | GRU | liGRU
+    bidirection: bool
+    dim: Tuple[int, ...]
+    dropout: Tuple[float, ...]
+    layer_norm: Tuple[bool, ...]
+    proj: Tuple[bool, ...]
+    sample_rate: Tuple[int, ...]
+    sample_style: str                # drop | concat
+    out_dim: int
+    total_sample_rate: int
+    layer_in_dims: Tuple[int, ...]
+    layer_out_dims: Tuple[int, ...]  # rnn_out (pre-downsample) per layer
+
+
+def make_spec(input_size: int, vgg: int, vgg_freq: int, vgg_low_filt: int,
+              module: str, bidirection: bool, dim, dropout, layer_norm, proj,
+              sample_rate, sample_style: str) -> EncoderSpec:
+    assert len(sample_rate) == len(dropout) == len(dim), "Number of layer mismatch"
+    assert sample_style in ("drop", "concat"), sample_style
+    fe = F.make_spec(vgg, input_size, vgg_freq, vgg_low_filt) if vgg > 0 else None
+    d = fe.out_dim if fe is not None else input_size
+    total_sr = fe.sample_rate if fe is not None else 1
+    in_dims, out_dims = [], []
+    for l in range(len(dim)):
+        in_dims.append(d)
+        rnn_out = 2 * dim[l] if bidirection else dim[l]
+        out_dims.append(rnn_out)
+        d = sample_rate[l] * rnn_out if (sample_rate[l] > 1 and
+                                         sample_style == "concat") else rnn_out
+        total_sr *= sample_rate[l]
+    return EncoderSpec(input_size, fe, module, bidirection, tuple(dim),
+                       tuple(dropout), tuple(layer_norm), tuple(proj),
+                       tuple(sample_rate), sample_style, d, total_sr,
+                       tuple(in_dims), tuple(out_dims))
+
+
+def encoder_init(key: jax.Array, spec: EncoderSpec) -> Dict:
+    n_layers = len(spec.dim)
+    ks = jax.random.split(key, 2 * n_layers + 2)
+    params: Dict = {}
+    if spec.frontend is not None:
+        params["frontend"] = F.frontend_init(ks[0], spec.frontend)
+    init = {"LSTM": R.lstm_init, "GRU": R.gru_init, "liGRU": R.ligru_init}[spec.module]
+    layers = []
+    for l in range(n_layers):
+        p: Dict = {"fw": init(ks[2 * l + 1], spec.layer_in_dims[l], spec.dim[l])}
+        if spec.bidirection:
+            p["bw"] = init(ks[2 * l + 2], spec.layer_in_dims[l], spec.dim[l])
+        if spec.layer_norm[l]:
+            p["ln"] = {"scale": jnp.ones((spec.layer_out_dims[l],), jnp.float32),
+                       "bias": jnp.zeros((spec.layer_out_dims[l],), jnp.float32)}
+        if spec.proj[l]:
+            p["pj"] = R.espnet_linear_init(jax.random.fold_in(ks[-1], l),
+                                           spec.layer_out_dims[l],
+                                           spec.layer_out_dims[l])
+        layers.append(p)
+    params["layers"] = layers
+    return params
+
+
+def _rnn_layer_apply(p: Dict, spec: EncoderSpec, l: int, x: jnp.ndarray,
+                     x_len: jnp.ndarray, rng: Optional[jax.Array],
+                     train: bool, compute_dtype, frozen_prefix: int):
+    # recurrent pass
+    if spec.module == "LSTM":
+        if spec.bidirection:
+            y = R.bilstm_layer(p["fw"], p["bw"], x, compute_dtype)
+        else:
+            y, _ = R.lstm_layer(p["fw"], x, compute_dtype=compute_dtype)
+    elif spec.module == "GRU":
+        if spec.bidirection:
+            y = R.bigru_layer(p["fw"], p["bw"], x, compute_dtype)
+        else:
+            y, _ = R.gru_layer(p["fw"], x, compute_dtype=compute_dtype)
+    else:  # liGRU
+        kw = dict(dropout=spec.dropout[l], train=train, compute_dtype=compute_dtype)
+        if rng is not None:
+            kw["rng"] = jax.random.fold_in(rng, 2 * l)
+        if spec.bidirection:
+            y = R.biligru_layer(p["fw"], p["bw"], x, **kw)
+        else:
+            y, _ = R.ligru_layer(p["fw"], x, **kw)
+
+    # layer norm
+    if spec.layer_norm[l]:
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.var(y, axis=-1, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = y * p["ln"]["scale"] + p["ln"]["bias"]
+
+    # dropout (liGRU applies its own recurrent dropout)
+    if train and spec.dropout[l] > 0 and spec.module != "liGRU" and rng is not None:
+        keep = 1.0 - spec.dropout[l]
+        mask = jax.random.bernoulli(jax.random.fold_in(rng, 2 * l + 1), keep, y.shape)
+        y = y * mask / keep
+
+    # time downsampling
+    sr = spec.sample_rate[l]
+    if sr > 1:
+        x_len = x_len // sr
+        if spec.sample_style == "drop":
+            y = y[:, ::sr, :]
+        else:
+            b, t, d = y.shape
+            t = (t // sr) * sr
+            y = y[:, :t, :].reshape(b, t // sr, d * sr)
+
+    # projection
+    if spec.proj[l]:
+        y = jnp.tanh(R.linear(p["pj"], y, compute_dtype))
+    return y, x_len
+
+
+def encoder_apply(params: Dict, spec: EncoderSpec, feat: jnp.ndarray,
+                  feat_len: jnp.ndarray, rng: Optional[jax.Array] = None,
+                  train: bool = False, compute_dtype=jnp.float32,
+                  fix_layers: Tuple[int, ...] = (), num_layers: Optional[int] = None):
+    """(B,T,D) + lengths -> (B,T/s,out_dim) + lengths.
+
+    ``fix_layers`` applies stop_gradient to the listed rnn-layer outputs
+    (transfer-learning freeze, reference src/asr.py:473-476). ``num_layers``
+    truncates the stack (probe API, reference src/asr.py:466-471).
+    """
+    x, x_len = feat, feat_len
+    if spec.frontend is not None:
+        fe_params = params["frontend"]
+        if -1 in fix_layers:  # frontend freeze
+            fe_params = jax.tree.map(jax.lax.stop_gradient, fe_params)
+        x, x_len = F.frontend_apply(fe_params, spec.frontend, x, x_len,
+                                    compute_dtype)
+    layers = params["layers"]
+    n = len(layers) if num_layers is None else min(num_layers, len(layers))
+    for l in range(n):
+        p = layers[l]
+        if l in fix_layers:
+            p = jax.tree.map(jax.lax.stop_gradient, p)
+        x, x_len = _rnn_layer_apply(p, spec, l, x, x_len, rng, train,
+                                    compute_dtype, 0)
+    return x, x_len

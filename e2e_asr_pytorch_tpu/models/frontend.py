@@ -1,0 +1,233 @@
+"""Convolutional frontends preceding the RNN encoder stack.
+
+Functional rebuild of the reference's extractor zoo (reference:
+src/module.py:582-1001): the ``vgg`` integer code in the YAML selects
+
+  1 VGG        — 2x[conv,conv,maxpool2] 128->256 ch, time/4
+  2 FreqVGG    — low/high frequency bands in separate conv stacks, time/4
+  3 VGG2       — 64->128 ch, time/2 (second pool is freq-only)
+  4 FreqVGG2   — freq-split variant of 3, time/2
+  5 VGG_LN     — 64->128 ch with per-conv LayerNorm over freq, time/4
+  6 Downsample — keep every 4th frame (no parameters)
+  7 Featemb    — Linear projection to 256 for upstream features
+
+All convs are 3x3/pad 1 in NHWC layout (B, T, F, C) so XLA maps them onto the
+MXU directly; delta features ride the channel axis exactly like the
+reference's ``view_input`` (feat dim D = C * freq, channel-major).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FBANK_SIZE = 40
+MFCC_SIZE = 13
+
+
+class FrontendSpec(NamedTuple):
+    vgg: int
+    in_channel: int
+    freq_dim: int
+    out_dim: int
+    sample_rate: int          # time downsampling factor
+    split_freq: int = -1      # FreqVGG variants
+    low_filt: int = -1
+    upstream: bool = False    # VGG_LN on non-13/40-divisible input dims
+
+
+def check_dim(input_dim: int) -> Tuple[int, int, bool]:
+    """Infer (channels, freq) from the stacked feature dim: 13k MFCC or
+    40k fbank, else a flat upstream feature (reference src/module.py:617-631)."""
+    if input_dim % MFCC_SIZE == 0:
+        return input_dim // MFCC_SIZE, MFCC_SIZE, False
+    if input_dim % FBANK_SIZE == 0:
+        return input_dim // FBANK_SIZE, FBANK_SIZE, False
+    return 1, input_dim, True
+
+
+def make_spec(vgg: int, input_dim: int, vgg_freq: int = -1,
+              vgg_low_filt: int = -1) -> FrontendSpec:
+    if vgg == 6:
+        return FrontendSpec(6, 1, input_dim, input_dim, 4)
+    if vgg == 7:
+        return FrontendSpec(7, 1, input_dim, 256, 1)
+    ch, freq, upstream = check_dim(input_dim)
+    if vgg == 1:
+        return FrontendSpec(1, ch, freq, (freq // 4) * 256, 4)
+    if vgg == 5:
+        return FrontendSpec(5, ch, freq, (freq // 4) * 128, 4, upstream=upstream)
+    if vgg == 3:
+        return FrontendSpec(3, ch, freq, (freq // 4) * 128, 2)
+    if vgg in (2, 4):
+        assert vgg_freq % 4 == 0 and 0 < vgg_freq < freq
+        low_hide = vgg_low_filt * 2
+        high_hide = 128 - low_hide
+        out = (vgg_freq // 4) * low_hide + ((freq - vgg_freq) // 4) * high_hide
+        return FrontendSpec(vgg, ch, freq, out, 4 if vgg == 2 else 2,
+                            split_freq=vgg_freq, low_filt=vgg_low_filt)
+    raise NotImplementedError("vgg = {} is not available".format(vgg))
+
+
+# ---------------------------------------------------------------------------
+# param init / conv helpers
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, in_ch: int, out_ch: int, k: int = 3) -> Dict:
+    # espnet init: N(0, 1/sqrt(fan_in)), zero bias (reference src/util.py:75-81)
+    n = in_ch * k * k
+    w = (1.0 / np.sqrt(n)) * jax.random.normal(key, (k, k, in_ch, out_ch), jnp.float32)
+    return {"w": w, "b": jnp.zeros((out_ch,), jnp.float32)}
+
+
+def _conv(p: Dict, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), p["w"].astype(compute_dtype),
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + p["b"]
+
+
+def _maxpool(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1,) + window + (1,), (1,) + window + (1,),
+        "VALID")
+
+
+def _ln_init(dim: int) -> Dict:
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def _layernorm_freq(p: Dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the freq axis of (B,T,F,C) — matches the reference's
+    CNNLayerNorm(n_feats) applied to (B,C,T,F) (src/module.py:542-550)."""
+    mean = jnp.mean(x, axis=2, keepdims=True)
+    var = jnp.var(x, axis=2, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"][None, None, :, None] + p["bias"][None, None, :, None]
+
+
+def _vgg_stack_init(key, in_ch: int, c1: int, c2: int, with_ln: bool,
+                    freq: int) -> Dict:
+    ks = jax.random.split(key, 4)
+    p = {
+        "conv1": _conv_init(ks[0], in_ch, c1),
+        "conv2": _conv_init(ks[1], c1, c1),
+        "conv3": _conv_init(ks[2], c1, c2),
+        "conv4": _conv_init(ks[3], c2, c2),
+    }
+    if with_ln:
+        p["ln1"] = _ln_init(freq)
+        p["ln2"] = _ln_init(freq)
+        p["ln3"] = _ln_init(freq // 2)
+        p["ln4"] = _ln_init(freq // 2)
+    return p
+
+
+def _vgg_stack_apply(p: Dict, x: jnp.ndarray, second_pool: Tuple[int, int],
+                     with_ln: bool, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """x: (B,T,F,Cin) -> pooled feature map."""
+    x = _conv(p["conv1"], x, compute_dtype)
+    if with_ln:
+        x = _layernorm_freq(p["ln1"], x)
+    x = jax.nn.relu(x)
+    x = _conv(p["conv2"], x, compute_dtype)
+    if with_ln:
+        x = _layernorm_freq(p["ln2"], x)
+    x = jax.nn.relu(x)
+    x = _maxpool(x, (2, 2))
+    x = _conv(p["conv3"], x, compute_dtype)
+    if with_ln:
+        x = _layernorm_freq(p["ln3"], x)
+    x = jax.nn.relu(x)
+    x = _conv(p["conv4"], x, compute_dtype)
+    if with_ln:
+        x = _layernorm_freq(p["ln4"], x)
+    x = jax.nn.relu(x)
+    x = _maxpool(x, second_pool)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# public frontend init/apply
+# ---------------------------------------------------------------------------
+
+def frontend_init(key: jax.Array, spec: FrontendSpec) -> Dict:
+    if spec.vgg == 6:
+        return {}
+    if spec.vgg == 7:
+        from e2e_asr_pytorch_tpu.ops.rnn import espnet_linear_init
+        return {"dense": espnet_linear_init(key, spec.freq_dim, 256)}
+    if spec.vgg == 1:
+        return _vgg_stack_init(key, spec.in_channel, 128, 256, False, spec.freq_dim)
+    if spec.vgg in (3, 5):
+        return _vgg_stack_init(key, spec.in_channel, 64, 128, spec.vgg == 5,
+                               spec.freq_dim)
+    if spec.vgg in (2, 4):
+        k1, k2 = jax.random.split(key)
+        low_init, low_hide = spec.low_filt, spec.low_filt * 2
+        high_init, high_hide = 64 - spec.low_filt, 128 - spec.low_filt * 2
+        return {
+            "low": _vgg_stack_init(k1, spec.in_channel, low_init, low_hide,
+                                   False, spec.split_freq),
+            "high": _vgg_stack_init(k2, spec.in_channel, high_init, high_hide,
+                                    False, spec.freq_dim - spec.split_freq),
+        }
+    raise NotImplementedError
+
+
+def _view_input(spec: FrontendSpec, feat: jnp.ndarray, feat_len: jnp.ndarray,
+                crop: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B,T,D) -> (B,T',F,C) NHWC with delta channels split out; crop T to a
+    multiple of the total pooling factor."""
+    b, t, d = feat.shape
+    t = (t // crop) * crop
+    feat = feat[:, :t, :]
+    feat = feat.reshape(b, t, spec.in_channel, spec.freq_dim)  # channel-major
+    feat = jnp.swapaxes(feat, 2, 3)                            # B,T,F,C
+    return feat, feat_len // crop
+
+
+def frontend_apply(params: Dict, spec: FrontendSpec, feat: jnp.ndarray,
+                   feat_len: jnp.ndarray, compute_dtype=jnp.float32):
+    """(B,T,D) + lengths -> (B,T/s,out_dim) + new lengths."""
+    if spec.vgg == 6:
+        return feat[:, ::4, :], feat_len // 4
+    if spec.vgg == 7:
+        from e2e_asr_pytorch_tpu.ops.rnn import linear
+        return linear(params["dense"], feat, compute_dtype), feat_len
+
+    if spec.vgg == 1:
+        x, feat_len = _view_input(spec, feat, feat_len, 4)
+        x = _vgg_stack_apply(params, x, (2, 2), False, compute_dtype)
+    elif spec.vgg == 5:
+        x, feat_len = _view_input(spec, feat, feat_len, 4)
+        x = _vgg_stack_apply(params, x, (2, 2), True, compute_dtype)
+    elif spec.vgg == 3:
+        x, feat_len = _view_input(spec, feat, feat_len, 2)
+        x = _vgg_stack_apply(params, x, (1, 2), False, compute_dtype)
+    elif spec.vgg in (2, 4):
+        crop = 4 if spec.vgg == 2 else 2
+        pool = (2, 2) if spec.vgg == 2 else (1, 2)
+        x, feat_len = _view_input(spec, feat, feat_len, crop)
+        lo = _vgg_stack_apply(params["low"], x[:, :, :spec.split_freq, :],
+                              pool, False, compute_dtype)
+        hi = _vgg_stack_apply(params["high"], x[:, :, spec.split_freq:, :],
+                              pool, False, compute_dtype)
+        b, t2 = lo.shape[0], lo.shape[1]
+        # channel-major flatten like the torch transpose+view
+        lo = jnp.swapaxes(lo, 2, 3).reshape(b, t2, -1)
+        hi = jnp.swapaxes(hi, 2, 3).reshape(b, t2, -1)
+        return jnp.concatenate([lo, hi], axis=-1), feat_len
+    else:
+        raise NotImplementedError
+
+    # (B,T',F',C') -> (B,T', C'*F') — torch flattens channel-major
+    b, t2, f2, c2 = x.shape
+    x = jnp.swapaxes(x, 2, 3).reshape(b, t2, c2 * f2)
+    return x, feat_len

@@ -1,0 +1,95 @@
+"""RNN language model (tied-embedding LSTM/GRU).
+
+Functional rebuild of the reference RNNLM (reference: src/lm.py:5-38): token
+embedding (+dropout) -> stacked RNN -> output projection that reuses the
+embedding matrix when ``emb_tying`` (https://arxiv.org/pdf/1608.05859.pdf).
+The YAML ``model:`` block of LM configs maps onto ``build_spec``. Exposes both
+a full-sequence forward (training; sequences are padded, loss masks pads) and
+a single-token step (shallow fusion inside beam search).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_pytorch_tpu.ops import rnn as R
+
+
+class LMSpec(NamedTuple):
+    vocab_size: int
+    emb_tying: bool
+    emb_dim: int
+    module: str
+    dim: int
+    n_layers: int
+    dropout: float
+
+
+def build_spec(vocab_size: int, emb_tying: bool, emb_dim: int, module: str,
+               dim: int, n_layers: int, dropout: float) -> LMSpec:
+    if emb_tying:
+        assert emb_dim == dim, \
+            "Output dim of RNN must equal embedding dim when weight tying."
+    return LMSpec(vocab_size, emb_tying, emb_dim, module.upper(), dim,
+                  n_layers, dropout)
+
+
+def lm_init(key: jax.Array, spec: LMSpec) -> Dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "emb": jax.random.normal(k1, (spec.vocab_size, spec.emb_dim),
+                                 jnp.float32),
+        "rnn": R.stacked_init(k2, spec.module, spec.emb_dim, spec.dim,
+                              spec.n_layers),
+    }
+    if not spec.emb_tying:
+        params["trans"] = R.espnet_linear_init(k3, spec.dim, spec.vocab_size)
+    return params
+
+
+def _output_proj(params: Dict, spec: LMSpec, x: jnp.ndarray,
+                 rng: Optional[jax.Array], train: bool,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+    if train and spec.dropout > 0 and rng is not None:
+        keep = 1.0 - spec.dropout
+        x = x * jax.random.bernoulli(rng, keep, x.shape) / keep
+    if spec.emb_tying:
+        return jnp.dot(x.astype(compute_dtype),
+                       params["emb"].T.astype(compute_dtype),
+                       preferred_element_type=jnp.float32)
+    return R.linear(params["trans"], x, compute_dtype)
+
+
+def lm_apply(params: Dict, spec: LMSpec, tokens: jnp.ndarray,
+             hidden=None, rng: Optional[jax.Array] = None,
+             train: bool = False, compute_dtype=jnp.float32):
+    """Full-sequence forward: (B,L) -> (logits (B,L,V), final hidden)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    x = params["emb"][tokens]
+    if train and spec.dropout > 0:
+        keep = 1.0 - spec.dropout
+        x = x * jax.random.bernoulli(r1, keep, x.shape) / keep
+    x, hidden = R.stacked_sequence(params["rnn"], spec.module, x, hidden,
+                                   dropout=spec.dropout, rng=r2, train=train,
+                                   compute_dtype=compute_dtype)
+    logits = _output_proj(params, spec, x, r3, train, compute_dtype)
+    return logits, hidden
+
+
+def lm_zero_state(spec: LMSpec, batch: int):
+    return R.stacked_zero_state(spec.module, spec.n_layers, batch, spec.dim)
+
+
+def lm_step(params: Dict, spec: LMSpec, token: jnp.ndarray, hidden,
+            compute_dtype=jnp.float32):
+    """Single-token step for shallow fusion: (B,) -> (logits (B,V), hidden)."""
+    x = params["emb"][token]
+    out, hidden = R.stacked_step(params["rnn"], spec.module, x, hidden,
+                                 compute_dtype=compute_dtype)
+    logits = _output_proj(params, spec, out, None, False, compute_dtype)
+    return logits, hidden

@@ -1,0 +1,143 @@
+"""Attention ops for the LAS decoder: scaled-dot and location-aware.
+
+Functional rebuild of the reference's attention stack (reference:
+src/asr.py:273-364 Attention wrapper; src/module.py:1084-1173 ScaleDot /
+LocationAware kernels) designed for use inside lax.scan:
+
+  * keys/values (and the padding mask) are projected ONCE per utterance by
+    ``precompute`` and carried as a constant through the decode scan — the
+    same per-utterance caching the reference does imperatively via
+    ``self.key is None``;
+  * each step is pure: (params, cache, query, prev_att) -> (context, attn),
+    with the location-aware state (previous attention) as an explicit carry;
+  * multi-head handled by a head axis, merged by a Linear when num_head > 1.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_pytorch_tpu.ops.rnn import espnet_linear_init, linear
+
+NEG_INF = -1e30
+
+
+class AttnConfig(NamedTuple):
+    mode: str            # 'dot' | 'loc'
+    dim: int
+    num_head: int
+    temperature: float
+    v_proj: bool
+    v_dim: int           # encoder output dim
+    q_dim: int           # query dim (decoder dim * layers)
+    loc_kernel_size: int = 100
+    loc_kernel_num: int = 10
+
+
+def attention_init(key: jax.Array, cfg: AttnConfig) -> Dict:
+    ks = jax.random.split(key, 6)
+    p = {
+        "proj_q": espnet_linear_init(ks[0], cfg.q_dim, cfg.dim * cfg.num_head),
+        "proj_k": espnet_linear_init(ks[1], cfg.v_dim, cfg.dim * cfg.num_head),
+    }
+    if cfg.v_proj:
+        p["proj_v"] = espnet_linear_init(ks[2], cfg.v_dim, cfg.v_dim * cfg.num_head)
+    if cfg.num_head > 1:
+        p["merge_head"] = espnet_linear_init(ks[3], cfg.v_dim * cfg.num_head, cfg.v_dim)
+    if cfg.mode == "loc":
+        kw = 2 * cfg.loc_kernel_size + 1
+        # conv over the attention map: in=num_head, out=kernel_num, no bias
+        n_in = cfg.num_head * kw
+        p["loc_conv"] = {"w": (1.0 / np.sqrt(n_in)) * jax.random.normal(
+            ks[4], (kw, cfg.num_head, cfg.loc_kernel_num), jnp.float32)}
+        p["loc_proj"] = {"w": (1.0 / np.sqrt(cfg.loc_kernel_num)) * jax.random.normal(
+            ks[5], (cfg.loc_kernel_num, cfg.dim), jnp.float32)}
+        p["gen_energy"] = espnet_linear_init(
+            jax.random.fold_in(key, 7), cfg.dim, 1)
+    return p
+
+
+def init_prev_att(enc_len: jnp.ndarray, t: int, num_head: int) -> jnp.ndarray:
+    """Uniform attention over valid frames (B,N,T) — the location-aware
+    initial state (reference src/module.py:1156-1160)."""
+    valid = (jnp.arange(t)[None, :] < enc_len[:, None]).astype(jnp.float32)
+    att = valid / jnp.maximum(enc_len[:, None].astype(jnp.float32), 1.0)
+    return jnp.repeat(att[:, None, :], num_head, axis=1)
+
+
+def precompute(params: Dict, cfg: AttnConfig, enc_feat: jnp.ndarray,
+               enc_len: jnp.ndarray, compute_dtype=jnp.float32) -> Dict:
+    """Project keys/values once per utterance. enc_feat: (B,T,De)."""
+    b, t, _ = enc_feat.shape
+    k = jnp.tanh(linear(params["proj_k"], enc_feat, compute_dtype))
+    k = k.reshape(b, t, cfg.num_head, cfg.dim)                    # B,T,N,D
+    if cfg.v_proj:
+        v = jnp.tanh(linear(params["proj_v"], enc_feat, compute_dtype))
+        v = v.reshape(b, t, cfg.num_head, cfg.v_dim)
+    else:
+        v = jnp.repeat(enc_feat[:, :, None, :], cfg.num_head, axis=2)
+    mask = (jnp.arange(t)[None, :] < enc_len[:, None])            # B,T valid
+    return {"key": k, "value": v, "mask": mask}
+
+
+def _attend(energy: jnp.ndarray, value: jnp.ndarray, mask: jnp.ndarray,
+            temperature: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """energy (B,N,T), value (B,T,N,Dv), mask (B,T) -> context (B,N,Dv), attn."""
+    energy = energy / temperature
+    energy = jnp.where(mask[:, None, :], energy, NEG_INF)
+    attn = jax.nn.softmax(energy, axis=-1)                        # B,N,T
+    context = jnp.einsum("bnt,btnd->bnd", attn, value,
+                         preferred_element_type=jnp.float32)
+    return context, attn
+
+
+def attention_step(params: Dict, cfg: AttnConfig, query: jnp.ndarray,
+                   cache: Dict, prev_att: Optional[jnp.ndarray],
+                   compute_dtype=jnp.float32):
+    """One attention step.
+
+    query: (B, q_dim) decoder state. Returns (context (B, v_dim or merged),
+    attn (B,N,T), new_prev_att).
+    """
+    b = query.shape[0]
+    t = cache["key"].shape[1]
+    q = jnp.tanh(linear(params["proj_q"], query, compute_dtype))
+    q = q.reshape(b, cfg.num_head, cfg.dim)                       # B,N,D
+
+    if cfg.mode == "dot":
+        energy = jnp.einsum("bnd,btnd->bnt", q, cache["key"],
+                            preferred_element_type=jnp.float32)
+        context, attn = _attend(energy, cache["value"], cache["mask"],
+                                cfg.temperature)
+        new_prev = prev_att
+    elif cfg.mode == "loc":
+        # loc features: conv over previous attention along time
+        # prev_att (B,N,T) -> (B,T,kernel_num)
+        loc = jax.lax.conv_general_dilated(
+            prev_att.astype(compute_dtype),
+            params["loc_conv"]["w"].astype(compute_dtype),
+            window_strides=(1,), padding=[(cfg.loc_kernel_size,) * 2],
+            dimension_numbers=("NCH", "HIO", "NHC"),
+            preferred_element_type=jnp.float32)                   # B,T,Kn
+        loc_ctx = jnp.tanh(linear(params["loc_proj"], loc, compute_dtype))  # B,T,D
+        # energy = w_e . tanh(k + q + loc)  per head
+        e_in = jnp.tanh(cache["key"] + q[:, None, :, :] + loc_ctx[:, :, None, :])
+        energy = linear(params["gen_energy"], e_in, compute_dtype)[..., 0]  # B,T,N
+        energy = jnp.swapaxes(energy, 1, 2)                       # B,N,T
+        context, attn = _attend(energy, cache["value"], cache["mask"],
+                                cfg.temperature)
+        new_prev = attn
+    else:
+        raise NotImplementedError(cfg.mode)
+
+    if cfg.num_head > 1:
+        context = linear(params["merge_head"],
+                         context.reshape(b, cfg.num_head * cfg.v_dim),
+                         compute_dtype)
+    else:
+        context = context[:, 0, :]
+    return context, attn, new_prev

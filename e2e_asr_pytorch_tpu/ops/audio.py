@@ -1,0 +1,266 @@
+"""On-device audio front-end: waveform -> normalized log-mel (+delta, CMVN).
+
+TPU-native replacement for the reference's CPU collate-time pipeline
+(reference: src/audio.py:124-171 ExtractAudioFeature, :40-96 Delta,
+:14-37 CMVN, :491-833 vendored librosa mel math). Everything here is pure
+jittable JAX over batched, statically shaped arrays: the whole front-end
+fuses into the training step's XLA program so features never touch the host.
+
+Numerical contract (matching the reference's settings):
+  * STFT: n_fft=1025 (513 bins), hann window of win_length, centered with
+    reflect padding, magnitude spectrum.
+  * mel: Slaney scale + Slaney area normalization (librosa defaults).
+  * log: 20*log10(clamp(x, 1e-5)) - ref_level_db, then
+    clamp((x - min_level_db) / -min_level_db, 0, 1).
+  * delta: Kaldi-style regression filters of the given order/window applied
+    along time; output layout is channel-major: [d0 mels | d1 mels | ...]
+    (matches the reference's Postprocess permute+reshape, src/audio.py:99-121).
+  * CMVN: per-utterance, per-coefficient over valid frames only (the
+    reference normalizes over the full unpadded utterance; we mask padding).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16000
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank (host-side constant; Slaney scale, Slaney norm)
+# ---------------------------------------------------------------------------
+
+def hz_to_mel(freq: np.ndarray, htk: bool = False) -> np.ndarray:
+    freq = np.asarray(freq, dtype=np.float64)
+    if htk:
+        return 2595.0 * np.log10(1.0 + freq / 700.0)
+    # Slaney: linear below 1 kHz, log above
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (freq - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    above = freq >= min_log_hz
+    mels = np.where(above, min_log_mel + np.log(np.maximum(freq, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def mel_to_hz(mels: np.ndarray, htk: bool = False) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    if htk:
+        return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    above = mels >= min_log_mel
+    freqs = np.where(above, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+    return freqs
+
+
+def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
+                   fmax: Optional[float] = None, htk: bool = False,
+                   norm: Optional[int] = 1) -> np.ndarray:
+    """Triangular mel filterbank, shape (n_freq, n_mels) for right-matmul."""
+    if fmax is None:
+        fmax = sr / 2.0
+    n_freq = 1 + n_fft // 2
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_freq)
+    mel_pts = np.linspace(hz_to_mel(fmin, htk), hz_to_mel(fmax, htk), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts, htk)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]  # (n_mels+2, n_freq)
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))  # (n_mels, n_freq)
+
+    if norm == 1:
+        enorm = 2.0 / (hz_pts[2:n_mels + 2] - hz_pts[:n_mels])
+        weights *= enorm[:, None]
+    return weights.T.astype(np.float32)  # (n_freq, n_mels)
+
+
+# ---------------------------------------------------------------------------
+# Delta filters (host-side constant)
+# ---------------------------------------------------------------------------
+
+def delta_filters(order: int, window_size: int = 2) -> np.ndarray:
+    """Kaldi-style delta regression filters, shape (order+1, width).
+
+    Row k is the filter producing the k-th order dynamic coefficients; all
+    rows are zero-padded to the widest (highest-order) filter so a single
+    grouped conv applies them. Matches reference src/audio.py:73-93.
+    """
+    scales = [np.array([1.0])]
+    for _ in range(order):
+        prev = scales[-1]
+        win = np.arange(-window_size, window_size + 1, dtype=np.float64)
+        normalizer = float(np.sum(win ** 2))
+        cur = np.zeros(len(prev) + 2 * window_size)
+        for j in range(-window_size, window_size + 1):
+            cur[j + window_size:j + window_size + len(prev)] += j * prev
+        scales.append(cur / normalizer)
+    width = len(scales[-1])
+    out = np.zeros((order + 1, width), dtype=np.float32)
+    for k, s in enumerate(scales):
+        pad = (width - len(s)) // 2
+        out[k, pad:pad + len(s)] = s
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched STFT -> log-mel pipeline (device, jittable)
+# ---------------------------------------------------------------------------
+
+def num_frames(num_samples, hop_length: int, n_fft: int):
+    """Frame count of a centered STFT (torch.stft center=True semantics):
+    1 + (L + 2*(n_fft//2) - n_fft) // hop. For even n_fft this is 1+L//hop;
+    for the reference's odd n_fft=1025 it is 1+(L-1)//hop."""
+    return 1 + (num_samples + 2 * (n_fft // 2) - n_fft) // hop_length
+
+
+def frame_signal(wav: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Center-pad (reflect) and frame a batch of waveforms: (B,S)->(B,T,n_fft)."""
+    pad = n_fft // 2
+    wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+    n_t = 1 + (wav.shape[1] - n_fft) // hop
+    # gather frames via strided slice trick: (B, n_t, n_fft)
+    idx = jnp.arange(n_t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    return wav[:, idx]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_fft", "win_length", "hop_length"))
+def stft_magnitude(wav: jnp.ndarray, n_fft: int, win_length: int,
+                   hop_length: int) -> jnp.ndarray:
+    """Magnitude STFT of batched waveforms (B,S) -> (B,T,F=n_fft//2+1).
+
+    Hann window of win_length centered inside the n_fft frame (torch.stft
+    pads the window symmetrically to n_fft).
+    """
+    frames = frame_signal(wav, n_fft, hop_length)
+    win = jnp.hanning(win_length + 1)[:-1].astype(wav.dtype)  # periodic hann
+    lpad = (n_fft - win_length) // 2
+    win = jnp.pad(win, (lpad, n_fft - win_length - lpad))
+    spec = jnp.fft.rfft(frames * win[None, None, :], axis=-1)
+    return jnp.abs(spec).astype(jnp.float32)
+
+
+def preemphasis(wav: jnp.ndarray, coeff: float) -> jnp.ndarray:
+    """y[0]=x[0]; y[t]=x[t]-coeff*x[t-1] (reference src/audio.py:231-235)."""
+    return jnp.concatenate([wav[:, :1], wav[:, 1:] - coeff * wav[:, :-1]], axis=-1)
+
+
+def amp_to_db(x: jnp.ndarray, minimum: float = 1e-5) -> jnp.ndarray:
+    return 20.0 * jnp.log10(jnp.maximum(x, minimum))
+
+
+def normalize_db(x: jnp.ndarray, min_level_db: float) -> jnp.ndarray:
+    return jnp.clip((x - min_level_db) / -min_level_db, 0.0, 1.0)
+
+
+class FeatureConfig:
+    """Static front-end configuration (the YAML ``audio:`` block).
+
+    Key names match the reference's schema so configs port verbatim.
+    """
+
+    def __init__(self, feat_type: str = "fbank", feat_dim: int = 40,
+                 frame_length: int = 25, frame_shift: int = 10,
+                 ref_level_db: float = 20.0, min_level_db: float = -100.0,
+                 preemphasis_coeff: float = 0.97, delta_order: int = 0,
+                 delta_window_size: int = 2, apply_cmvn: bool = False,
+                 augment: bool = False, time_aug: bool = False,
+                 sample_rate: int = SAMPLE_RATE, n_fft: int = 1025,
+                 **unused):
+        assert feat_type in ("fbank", "mfcc"), feat_type
+        self.feat_type = feat_type
+        self.feat_dim = feat_dim
+        self.sample_rate = sample_rate
+        self.n_fft = n_fft
+        self.win_length = int(frame_length / 1000 * sample_rate)
+        self.hop_length = int(frame_shift / 1000 * sample_rate)
+        self.ref_level_db = ref_level_db
+        self.min_level_db = min_level_db
+        self.preemphasis_coeff = preemphasis_coeff
+        self.delta_order = delta_order
+        self.delta_window_size = delta_window_size
+        self.apply_cmvn = apply_cmvn
+        self.augment = augment
+        self.time_aug = time_aug
+        # host-side constants baked into the jitted program
+        self.mel_fb = mel_filterbank(sample_rate, n_fft, feat_dim)
+        self.delta_f = delta_filters(delta_order, delta_window_size)
+
+    @property
+    def out_dim(self) -> int:
+        return self.feat_dim * (self.delta_order + 1)
+
+    def frames_for_samples(self, n: int) -> int:
+        return num_frames(n, self.hop_length, self.n_fft)
+
+
+def log_mel(cfg: FeatureConfig, wav: jnp.ndarray) -> jnp.ndarray:
+    """(B,S) waveform -> (B,T,n_mels) normalized log-mel in [0,1]."""
+    wav = preemphasis(wav, cfg.preemphasis_coeff)
+    mag = stft_magnitude(wav, cfg.n_fft, cfg.win_length, cfg.hop_length)
+    mel = jnp.einsum("btf,fm->btm", mag, jnp.asarray(cfg.mel_fb),
+                     preferred_element_type=jnp.float32)
+    mel = amp_to_db(mel) - cfg.ref_level_db
+    return normalize_db(mel, cfg.min_level_db)
+
+
+def add_deltas(cfg: FeatureConfig, feat: jnp.ndarray) -> jnp.ndarray:
+    """(B,T,D) -> (B,T,(order+1)*D), channel-major [d0|d1|d2] layout."""
+    if cfg.delta_order == 0:
+        return feat
+    filt = np.asarray(cfg.delta_f)  # (order+1, width)
+    width = filt.shape[1]
+    pad = (width - 1) // 2
+    t = feat.shape[1]
+    x = jnp.pad(feat, ((0, 0), (pad, pad), (0, 0)), mode="constant")
+    # correlation along time as a short unrolled sum of shifted slices —
+    # XLA fuses this into a single elementwise kernel, no conv needed.
+    outs = []
+    for k in range(cfg.delta_order + 1):
+        taps = [float(filt[k, j]) for j in range(width)]
+        y = sum(w * jax.lax.dynamic_slice_in_dim(x, j, t, axis=1)
+                for j, w in enumerate(taps) if w != 0.0)
+        outs.append(y)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def apply_cmvn(feat: jnp.ndarray, feat_len: jnp.ndarray,
+               eps: float = 1e-10) -> jnp.ndarray:
+    """Per-utterance mean/var normalization over valid frames (B,T,D)."""
+    mask = (jnp.arange(feat.shape[1])[None, :] < feat_len[:, None])
+    m = mask[:, :, None].astype(feat.dtype)
+    denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(feat * m, axis=1, keepdims=True) / denom
+    # unbiased std like torch.std
+    var = jnp.sum(((feat - mean) * m) ** 2, axis=1, keepdims=True) / jnp.maximum(denom - 1.0, 1.0)
+    return (feat - mean) / (eps + jnp.sqrt(var)) * m
+
+
+def extract_features(cfg: FeatureConfig, wav: jnp.ndarray,
+                     wav_len: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full front-end: (B,S) waveform + lengths -> (B,T,out_dim) + frame lens.
+
+    Padding frames are zeroed so downstream masking is exact.
+    """
+    feat = log_mel(cfg, wav)
+    feat = add_deltas(cfg, feat)
+    feat_len = num_frames(wav_len, cfg.hop_length, cfg.n_fft)
+    t = feat.shape[1]
+    mask = (jnp.arange(t)[None, :] < feat_len[:, None]).astype(feat.dtype)
+    feat = feat * mask[:, :, None]
+    if cfg.apply_cmvn:
+        feat = apply_cmvn(feat, feat_len)
+    return feat, feat_len

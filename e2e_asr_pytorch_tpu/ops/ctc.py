@@ -1,0 +1,117 @@
+"""CTC loss as a log-semiring lax.scan (TPU-native ATen/cuDNN-CTC replacement).
+
+The reference leans on torch.nn.CTCLoss (reference: bin/train_asr.py:135,237);
+here the forward (alpha) recursion runs as a jittable scan over time with the
+standard extended-label formulation, masked for both padded frames and padded
+labels, and the backward pass comes from autodiff through the scan (XLA turns
+the logaddexp chain into one fused loop kernel). Semantics match
+torch.nn.CTCLoss(blank=0, reduction='mean'): per-utterance losses are divided
+by label length, then averaged over the batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+LOG_EPS = -1e10  # effective log-zero (finite to keep grads clean)
+
+
+def _extend_labels(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
+    """(B,L) -> (B,2L+1) blank-interleaved extended label sequence."""
+    b, l = labels.shape
+    ext = jnp.full((b, 2 * l + 1), blank, labels.dtype)
+    return ext.at[:, 1::2].set(labels)
+
+
+def ctc_forward_scores(log_probs: jnp.ndarray, input_len: jnp.ndarray,
+                       labels: jnp.ndarray, label_len: jnp.ndarray,
+                       blank: int = 0) -> jnp.ndarray:
+    """Per-utterance negative log-likelihood, shape (B,).
+
+    log_probs: (B,T,V) log-softmax outputs. labels: (B,L) padded with any id.
+    """
+    b, t_max, _ = log_probs.shape
+    ext = _extend_labels(labels, blank)                     # (B,S)
+    s = ext.shape[1]
+    pos = jnp.arange(s)[None, :]                            # (1,S)
+
+    # allow the "skip" transition alpha[s-2] only for non-blank positions
+    # whose label differs from the label two steps back
+    ext_shift2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
+    can_skip = (ext != blank) & (ext != ext_shift2)         # (B,S)
+
+    # mask out extended positions beyond 2*label_len+1
+    valid_pos = pos < (2 * label_len[:, None] + 1)
+
+    # emission scores per extended position, time-major for the scan
+    emit = jnp.take_along_axis(
+        log_probs, ext[:, None, :].astype(jnp.int32).clip(0), axis=2)  # (B,T,S)
+    emit = jnp.swapaxes(emit, 0, 1)                          # (T,B,S)
+
+    alpha0 = jnp.full((b, s), LOG_EPS)
+    alpha0 = alpha0.at[:, 0].set(emit[0][:, 0])
+    # position 1 exists only if label_len > 0
+    alpha0 = alpha0.at[:, 1].set(
+        jnp.where(label_len > 0, emit[0][:, 1], LOG_EPS))
+    alpha0 = jnp.where(valid_pos, alpha0, LOG_EPS)
+
+    def step(carry, inp):
+        alpha, t = carry, inp["t"]
+        a_prev1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=LOG_EPS)[:, :s]
+        a_prev2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=LOG_EPS)[:, :s]
+        a_prev2 = jnp.where(can_skip, a_prev2, LOG_EPS)
+        stay = jnp.logaddexp(alpha, a_prev1)
+        new = jnp.logaddexp(stay, a_prev2) + inp["emit"]
+        new = jnp.where(valid_pos, new, LOG_EPS)
+        # freeze once past this utterance's last frame
+        active = (t < input_len)[:, None]
+        new = jnp.where(active, new, alpha)
+        return new, None
+
+    ts = jnp.arange(1, t_max)
+    alpha, _ = jax.lax.scan(step, alpha0, {"emit": emit[1:], "t": ts})
+
+    # final score: alpha at positions 2L and 2L-1 of each utterance
+    last = 2 * label_len
+    idx_last = last[:, None]
+    a_last = jnp.take_along_axis(alpha, idx_last, axis=1)[:, 0]
+    a_prev = jnp.take_along_axis(alpha, jnp.maximum(idx_last - 1, 0), axis=1)[:, 0]
+    a_prev = jnp.where(label_len > 0, a_prev, LOG_EPS)
+    return -jnp.logaddexp(a_last, a_prev)
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "reduction"))
+def ctc_loss(log_probs: jnp.ndarray, input_len: jnp.ndarray,
+             labels: jnp.ndarray, label_len: jnp.ndarray, blank: int = 0,
+             reduction: str = "mean") -> jnp.ndarray:
+    """torch.nn.CTCLoss-compatible loss over a padded batch."""
+    nll = ctc_forward_scores(log_probs, input_len, labels, label_len, blank)
+    if reduction == "none":
+        return nll
+    if reduction == "sum":
+        return jnp.sum(nll)
+    # 'mean': normalize each by label length then average over batch
+    return jnp.mean(nll / jnp.maximum(label_len, 1))
+
+
+def ctc_greedy_collapse(ids: jnp.ndarray, blank: int = 0) -> jnp.ndarray:
+    """Device-side greedy CTC collapse: remove repeats then blanks.
+
+    Returns (B,T) with results left-aligned and padded with `blank`.
+    (Host-side decode via the tokenizer's ignore_repeat flag is equivalent;
+    this variant keeps decode fully on device for the batched greedy path.)
+    """
+    prev = jnp.pad(ids, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    keep = (ids != prev) & (ids != blank)
+
+    def compact(row_ids, row_keep):
+        # kept tokens scatter to their compacted slot; dropped ones scatter
+        # out of bounds and are discarded
+        idx = jnp.where(row_keep, jnp.cumsum(row_keep) - 1, row_ids.shape[0])
+        out = jnp.full((row_ids.shape[0],), blank, row_ids.dtype)
+        return out.at[idx].set(row_ids, mode="drop")
+
+    return jax.vmap(compact)(ids, keep)

@@ -1,0 +1,56 @@
+"""Sequence losses: label smoothing and masked cross entropy.
+
+Parity notes vs the reference:
+  * LabelSmoothingLoss (reference src/util.py:11-25) smears ``smoothing``
+    uniformly over (C-1) classes and — notably — averages over ALL positions
+    including padding (its call site never masks; the <pad>=0 targets are
+    trained). We reproduce that by default and expose ``mask_pad`` to opt out
+    of the quirk.
+  * CrossEntropy path uses ignore_index=0 (<pad>) like
+    torch.nn.CrossEntropyLoss(ignore_index=0) (reference bin/train_asr.py:134).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                         num_classes: int, smoothing: float = 0.1,
+                         mask_pad: bool = False, pad_id: int = 0) -> jnp.ndarray:
+    """logits (N,V) or (B,T,V); targets (N,) or (B,T)."""
+    logits = logits.reshape(-1, logits.shape[-1])
+    targets = targets.reshape(-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    confidence = 1.0 - smoothing
+    smear = smoothing / (num_classes - 1)
+    tgt_logp = jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
+    # sum(-true_dist * logp) = -(confidence - smear)*logp[tgt] - smear*sum(logp)
+    per_pos = -(confidence - smear) * tgt_logp - smear * jnp.sum(logp, axis=-1)
+    if mask_pad:
+        mask = (targets != pad_id).astype(per_pos.dtype)
+        return jnp.sum(per_pos * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.mean(per_pos)
+
+
+def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                       ignore_index: int = 0) -> jnp.ndarray:
+    """Mean CE over non-ignored positions (torch ignore_index semantics)."""
+    logits = logits.reshape(-1, logits.shape[-1])
+    targets = targets.reshape(-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[:, None].clip(0), axis=1)[:, 0]
+    mask = (targets != ignore_index).astype(nll.dtype)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def nll_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
+             ignore_index: int = 0) -> jnp.ndarray:
+    """NLL over already-log-probability inputs (emb-fusion path parity with
+    torch.nn.NLLLoss(ignore_index=0), reference bin/train_asr.py:146)."""
+    lp = log_probs.reshape(-1, log_probs.shape[-1])
+    targets = targets.reshape(-1)
+    nll = -jnp.take_along_axis(lp, targets[:, None].clip(0), axis=1)[:, 0]
+    mask = (targets != ignore_index).astype(nll.dtype)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -1,0 +1,318 @@
+"""Recurrent layers as lax.scan programs (TPU-native cuDNN-LSTM replacement).
+
+The reference reaches cuDNN for all recurrence (reference: src/module.py:1023,
+src/asr.py:202, src/lm.py:18). Here each RNN is a pure function over explicit
+param pytrees, compiled by XLA:
+
+  * the input-to-hidden projection for the WHOLE sequence is hoisted out of
+    the scan as one large (B*T, D) @ (D, 4H) matmul that tiles onto the MXU;
+  * the scan body only does the (B,H) @ (H,4H) recurrent matmul + gate math,
+    which XLA fuses into a single loop kernel;
+  * bidirectional = forward scan + reversed scan + concat (the reference runs
+    cuDNN over the padded batch without packing, so the backward direction
+    also consumes padding — we reproduce exactly that for parity);
+  * parameters follow torch's gate order (i,f,g,o for LSTM; r,z,n for GRU)
+    so unit tests check bit-parity against torch.nn.LSTM/GRU on CPU.
+
+Compute dtype: matmuls run in ``compute_dtype`` (bf16 by default on TPU) with
+fp32 accumulation; carries stay fp32 for stability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _normal(key, shape, stdv, dtype=jnp.float32):
+    return stdv * jax.random.normal(key, shape, dtype)
+
+
+def espnet_linear_init(key, in_dim: int, out_dim: int, bias: bool = True):
+    """Reference init (src/util.py:60-83): W ~ N(0, 1/sqrt(fan_in)), b = 0."""
+    kw, _ = jax.random.split(key)
+    p = {"w": _normal(kw, (in_dim, out_dim), 1.0 / np.sqrt(in_dim))}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def linear(params, x, compute_dtype=jnp.float32):
+    y = jnp.dot(x.astype(compute_dtype), params["w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# LSTM
+# ---------------------------------------------------------------------------
+
+def lstm_init(key, in_dim: int, hidden: int, forget_bias: bool = False) -> Dict:
+    """One direction of one LSTM layer. Gate order (i,f,g,o) like torch."""
+    k1, k2 = jax.random.split(key)
+    stdv_x = 1.0 / np.sqrt(in_dim)
+    stdv_h = 1.0 / np.sqrt(hidden)
+    b = jnp.zeros((4 * hidden,), jnp.float32)
+    if forget_bias:
+        # espnet init_gate: forget-gate bias = 1 (reference src/util.py:84-88)
+        b = b.at[hidden:2 * hidden].set(1.0)
+    return {
+        "w_x": _normal(k1, (in_dim, 4 * hidden), stdv_x),
+        "w_h": _normal(k2, (hidden, 4 * hidden), stdv_h),
+        "b": b,
+    }
+
+
+def lstm_cell(params, xg_t: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
+              compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One LSTM step given the precomputed input-gate term xg_t (B,4H)."""
+    hidden = h.shape[-1]
+    gates = xg_t + jnp.dot(h.astype(compute_dtype),
+                           params["w_h"].astype(compute_dtype),
+                           preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(gates[..., :hidden])
+    f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[..., 3 * hidden:])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm_layer(params, x: jnp.ndarray, state=None, reverse: bool = False,
+               compute_dtype=jnp.float32):
+    """Run one LSTM direction over (B,T,D). Returns (y (B,T,H), (h,c))."""
+    b, t, _ = x.shape
+    hidden = params["w_h"].shape[0]
+    if state is None:
+        h0 = jnp.zeros((b, hidden), jnp.float32)
+        c0 = jnp.zeros((b, hidden), jnp.float32)
+    else:
+        h0, c0 = state
+    # hoist the big matmul out of the scan: (B,T,D)@(D,4H)
+    xg = jnp.einsum("btd,dh->bth", x.astype(compute_dtype),
+                    params["w_x"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32) + params["b"]
+    xg_t = jnp.swapaxes(xg, 0, 1)  # (T,B,4H) scan-major
+
+    def step(carry, xg_step):
+        h, c = carry
+        h, c = lstm_cell(params, xg_step, h, c, compute_dtype)
+        return (h, c), h
+
+    (h, c), ys = jax.lax.scan(step, (h0, c0), xg_t, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1), (h, c)
+
+
+def bilstm_layer(params_fw, params_bw, x, compute_dtype=jnp.float32):
+    """Bidirectional LSTM; output (B,T,2H) = [fw ; bw] like torch."""
+    y_fw, _ = lstm_layer(params_fw, x, compute_dtype=compute_dtype)
+    y_bw, _ = lstm_layer(params_bw, x, reverse=True, compute_dtype=compute_dtype)
+    return jnp.concatenate([y_fw, y_bw], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# GRU (torch-compatible: two bias vectors, gate order r,z,n)
+# ---------------------------------------------------------------------------
+
+def gru_init(key, in_dim: int, hidden: int) -> Dict:
+    k1, k2 = jax.random.split(key)
+    stdv_x = 1.0 / np.sqrt(in_dim)
+    stdv_h = 1.0 / np.sqrt(hidden)
+    return {
+        "w_x": _normal(k1, (in_dim, 3 * hidden), stdv_x),
+        "w_h": _normal(k2, (hidden, 3 * hidden), stdv_h),
+        "b_x": jnp.zeros((3 * hidden,), jnp.float32),
+        "b_h": jnp.zeros((3 * hidden,), jnp.float32),
+    }
+
+
+def gru_cell(params, xg_t: jnp.ndarray, h: jnp.ndarray,
+             compute_dtype=jnp.float32) -> jnp.ndarray:
+    hidden = h.shape[-1]
+    hg = jnp.dot(h.astype(compute_dtype), params["w_h"].astype(compute_dtype),
+                 preferred_element_type=jnp.float32) + params["b_h"]
+    r = jax.nn.sigmoid(xg_t[..., :hidden] + hg[..., :hidden])
+    z = jax.nn.sigmoid(xg_t[..., hidden:2 * hidden] + hg[..., hidden:2 * hidden])
+    n = jnp.tanh(xg_t[..., 2 * hidden:] + r * hg[..., 2 * hidden:])
+    return (1.0 - z) * n + z * h
+
+
+def gru_layer(params, x, state=None, reverse: bool = False,
+              compute_dtype=jnp.float32):
+    b, t, _ = x.shape
+    hidden = params["w_h"].shape[0]
+    h0 = jnp.zeros((b, hidden), jnp.float32) if state is None else state
+    xg = jnp.einsum("btd,dh->bth", x.astype(compute_dtype),
+                    params["w_x"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32) + params["b_x"]
+    xg_t = jnp.swapaxes(xg, 0, 1)
+
+    def step(h, xg_step):
+        h = gru_cell(params, xg_step, h, compute_dtype)
+        return h, h
+
+    h, ys = jax.lax.scan(step, h0, xg_t, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1), h
+
+
+def bigru_layer(params_fw, params_bw, x, compute_dtype=jnp.float32):
+    y_fw, _ = gru_layer(params_fw, x, compute_dtype=compute_dtype)
+    y_bw, _ = gru_layer(params_bw, x, reverse=True, compute_dtype=compute_dtype)
+    return jnp.concatenate([y_fw, y_bw], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# liGRU (light GRU: BN feedforward, ReLU candidate, shared dropout mask)
+# Reference: src/module.py:20-298 (TorchScript liGRU_layer).
+# ---------------------------------------------------------------------------
+
+def ligru_init(key, in_dim: int, hidden: int) -> Dict:
+    k1, k2 = jax.random.split(key)
+    stdv_x = 1.0 / np.sqrt(in_dim)
+    stdv_h = 1.0 / np.sqrt(hidden)
+    return {
+        "w_x": _normal(k1, (in_dim, 2 * hidden), stdv_x),   # [z ; hcand]
+        "w_h": _normal(k2, (hidden, 2 * hidden), stdv_h),
+        "bn_scale": jnp.ones((2 * hidden,), jnp.float32),
+        "bn_bias": jnp.zeros((2 * hidden,), jnp.float32),
+    }
+
+
+def ligru_layer(params, x, reverse: bool = False, dropout: float = 0.0,
+                rng: Optional[jax.Array] = None, train: bool = False,
+                compute_dtype=jnp.float32, bn_eps: float = 1e-5):
+    """Light-GRU over (B,T,D): the feedforward part is batch-normalized over
+    (B,T) as in the reference, then a scan applies the recurrence with a
+    time-shared recurrent dropout mask."""
+    b, t, _ = x.shape
+    hidden = params["w_h"].shape[0]
+    xg = jnp.einsum("btd,dh->bth", x.astype(compute_dtype),
+                    params["w_x"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+    mean = jnp.mean(xg, axis=(0, 1), keepdims=True)
+    var = jnp.var(xg, axis=(0, 1), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + bn_eps)
+    xg = xg * params["bn_scale"] + params["bn_bias"]
+    xg_t = jnp.swapaxes(xg, 0, 1)
+
+    if train and dropout > 0.0 and rng is not None:
+        keep = 1.0 - dropout
+        drop_mask = jax.random.bernoulli(rng, keep, (b, hidden)).astype(jnp.float32) / keep
+    else:
+        drop_mask = jnp.ones((b, hidden), jnp.float32)
+
+    def step(h, xg_step):
+        hg = jnp.dot(h.astype(compute_dtype), params["w_h"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+        z = jax.nn.sigmoid(xg_step[..., :hidden] + hg[..., :hidden])
+        hcand = jax.nn.relu(xg_step[..., hidden:] + hg[..., hidden:]) * drop_mask
+        h = z * h + (1.0 - z) * hcand
+        return h, h
+
+    h0 = jnp.zeros((b, hidden), jnp.float32)
+    h, ys = jax.lax.scan(step, h0, xg_t, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1), h
+
+
+def biligru_layer(params_fw, params_bw, x, **kw):
+    y_fw, _ = ligru_layer(params_fw, x, **kw)
+    y_bw, _ = ligru_layer(params_bw, x, reverse=True, **kw)
+    return jnp.concatenate([y_fw, y_bw], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Stacked unidirectional RNN (decoder / LM): full-sequence and single-step
+# ---------------------------------------------------------------------------
+
+def stacked_init(key, module: str, in_dim: int, hidden: int, n_layers: int,
+                 forget_bias: bool = False):
+    keys = jax.random.split(key, n_layers)
+    init = {"LSTM": functools.partial(lstm_init, forget_bias=forget_bias),
+            "GRU": gru_init, "liGRU": ligru_init}[module]
+    layers = []
+    d = in_dim
+    for l in range(n_layers):
+        layers.append(init(keys[l], d, hidden))
+        d = hidden
+    return layers
+
+
+def stacked_zero_state(module: str, n_layers: int, batch: int, hidden: int):
+    if module == "LSTM":
+        z = jnp.zeros((n_layers, batch, hidden), jnp.float32)
+        return (z, z)
+    return jnp.zeros((n_layers, batch, hidden), jnp.float32)
+
+
+def stacked_step(layers, module: str, x: jnp.ndarray, state,
+                 dropout: float = 0.0, rng: Optional[jax.Array] = None,
+                 train: bool = False, compute_dtype=jnp.float32):
+    """One time step through a stacked RNN. x: (B,D). state: (L,B,H) or tuple.
+    Inter-layer dropout like torch (applied to all but last layer output)."""
+    n_layers = len(layers)
+    outs = x
+    if module == "LSTM":
+        hs, cs = state
+        new_h, new_c = [], []
+        for l, p in enumerate(layers):
+            xg = jnp.dot(outs.astype(compute_dtype), p["w_x"].astype(compute_dtype),
+                         preferred_element_type=jnp.float32) + p["b"]
+            h, c = lstm_cell(p, xg, hs[l], cs[l], compute_dtype)
+            new_h.append(h)
+            new_c.append(c)
+            outs = h
+            if train and dropout > 0 and l < n_layers - 1 and rng is not None:
+                rng, sub = jax.random.split(rng)
+                keep = 1.0 - dropout
+                outs = outs * jax.random.bernoulli(sub, keep, outs.shape) / keep
+        return outs, (jnp.stack(new_h), jnp.stack(new_c))
+    else:  # GRU
+        hs = state
+        new_h = []
+        for l, p in enumerate(layers):
+            xg = jnp.dot(outs.astype(compute_dtype), p["w_x"].astype(compute_dtype),
+                         preferred_element_type=jnp.float32) + p["b_x"]
+            h = gru_cell(p, xg, hs[l], compute_dtype)
+            new_h.append(h)
+            outs = h
+            if train and dropout > 0 and l < n_layers - 1 and rng is not None:
+                rng, sub = jax.random.split(rng)
+                keep = 1.0 - dropout
+                outs = outs * jax.random.bernoulli(sub, keep, outs.shape) / keep
+        return outs, jnp.stack(new_h)
+
+
+def stacked_sequence(layers, module: str, x: jnp.ndarray, state=None,
+                     dropout: float = 0.0, rng: Optional[jax.Array] = None,
+                     train: bool = False, compute_dtype=jnp.float32):
+    """Full-sequence stacked unidirectional RNN (used by the LM): (B,T,D)."""
+    b = x.shape[0]
+    hidden = (layers[0]["w_h"].shape[0])
+    if state is None:
+        state = stacked_zero_state(module, len(layers), b, hidden)
+    outs = x
+    final_h, final_c = [], []
+    for l, p in enumerate(layers):
+        if module == "LSTM":
+            s_l = (state[0][l], state[1][l])
+            outs_l, (h, c) = lstm_layer(p, outs, s_l, compute_dtype=compute_dtype)
+            final_h.append(h)
+            final_c.append(c)
+        else:
+            outs_l, h = gru_layer(p, outs, state[l], compute_dtype=compute_dtype)
+            final_h.append(h)
+        outs = outs_l
+        if train and dropout > 0 and l < len(layers) - 1 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            keep = 1.0 - dropout
+            outs = outs * jax.random.bernoulli(sub, keep, outs.shape) / keep
+    if module == "LSTM":
+        return outs, (jnp.stack(final_h), jnp.stack(final_c))
+    return outs, jnp.stack(final_h)

@@ -1,0 +1,72 @@
+"""SpecAugment (time + frequency masking) as a batched, jittable JAX op.
+
+Capability parity with the reference's Augment module (reference:
+src/audio.py:355-406): per utterance, one time mask with max width T=40 and
+one frequency mask with max width F=27, both filled with the utterance's mean
+(or zero). The reference samples the mask width twice (width ~ U[0,T), then
+end ~ U[start, start+width)), giving an effective width ~ U(0, width); we
+reproduce that two-stage sampling. Runs on device over the padded batch using
+per-utterance valid lengths, with an independent PRNG key per utterance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_mean(spec: jnp.ndarray, feat_len: jnp.ndarray) -> jnp.ndarray:
+    t = spec.shape[0]
+    valid = (jnp.arange(t) < feat_len).astype(spec.dtype)
+    total = jnp.sum(spec * valid[:, None])
+    count = jnp.maximum(feat_len.astype(spec.dtype) * spec.shape[1], 1.0)
+    return total / count
+
+
+def _one_example(spec: jnp.ndarray, feat_len: jnp.ndarray, key: jax.Array,
+                 max_t: int, max_f: int, num_masks: int,
+                 replace_with_zero: bool) -> jnp.ndarray:
+    t_dim, f_dim = spec.shape
+    fill = jnp.array(0.0, spec.dtype) if replace_with_zero else _masked_mean(spec, feat_len)
+    t_idx = jnp.arange(t_dim)
+    f_idx = jnp.arange(f_dim)
+
+    def rand_below(k, hi):
+        # uniform int in [0, hi) with hi a traced value >= 1
+        return jnp.floor(jax.random.uniform(k) * hi.astype(jnp.float32)).astype(jnp.int32)
+
+    for i in range(num_masks):
+        key, k1, k2, k3, k4, k5, k6 = jax.random.split(key, 7)
+        # --- time mask ---
+        width = rand_below(k1, jnp.asarray(max_t, jnp.int32))
+        room = jnp.maximum(feat_len.astype(jnp.int32) - width, 1)
+        start = rand_below(k2, room)
+        end = start + rand_below(k3, jnp.maximum(width, 1))
+        do_t = width > 0
+        tmask = (t_idx >= start) & (t_idx < end) & do_t
+        spec = jnp.where(tmask[:, None], fill, spec)
+        # --- freq mask ---
+        fwidth = rand_below(k4, jnp.asarray(max_f, jnp.int32))
+        fstart = rand_below(k5, jnp.maximum(f_dim - fwidth, 1))
+        fend = fstart + rand_below(k6, jnp.maximum(fwidth, 1))
+        do_f = fwidth > 0
+        fmask = (f_idx >= fstart) & (f_idx < fend) & do_f
+        spec = jnp.where(fmask[None, :], fill, spec)
+    # keep padding zeroed
+    spec = spec * (t_idx < feat_len)[:, None]
+    return spec
+
+
+@functools.partial(jax.jit, static_argnames=("max_t", "max_f", "num_masks",
+                                             "replace_with_zero"))
+def spec_augment(spec: jnp.ndarray, feat_len: jnp.ndarray, key: jax.Array,
+                 max_t: int = 40, max_f: int = 27, num_masks: int = 1,
+                 replace_with_zero: bool = False) -> jnp.ndarray:
+    """Apply SpecAugment to a padded batch (B,T,D) with lengths (B,)."""
+    keys = jax.random.split(key, spec.shape[0])
+    fn = functools.partial(_one_example, max_t=max_t, max_f=max_f,
+                           num_masks=num_masks,
+                           replace_with_zero=replace_with_zero)
+    return jax.vmap(fn)(spec, feat_len, keys)

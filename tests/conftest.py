@@ -1,0 +1,23 @@
+"""Test configuration: force a virtual 8-device CPU backend BEFORE jax loads.
+
+Multi-chip sharding tests run against the standard JAX fake multi-device CPU
+backend (xla_force_host_platform_device_count); numerical golden tests compare
+against torch CPU ops.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,96 @@
+"""Golden tests for the audio front-end vs torch CPU reference math."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from e2e_asr_pytorch_tpu.ops import audio as AU
+
+
+def test_stft_matches_torch():
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal((2, 3200)).astype(np.float32)
+    n_fft, win, hop = 1025, 400, 160
+    mag = np.asarray(AU.stft_magnitude(jnp.asarray(wav), n_fft, win, hop))
+
+    window = torch.hann_window(win)
+    t_spec = torch.stft(torch.from_numpy(wav), n_fft=n_fft, hop_length=hop,
+                        win_length=win, window=window, center=True,
+                        pad_mode="reflect", normalized=False, onesided=True,
+                        return_complex=True).abs().numpy()
+    t_spec = np.transpose(t_spec, (0, 2, 1))  # B,F,T -> B,T,F
+    assert mag.shape == t_spec.shape
+    np.testing.assert_allclose(mag, t_spec, rtol=1e-3, atol=1e-3)
+
+
+def test_mel_filterbank_properties():
+    fb = AU.mel_filterbank(16000, 1025, 40)
+    assert fb.shape == (513, 40)
+    # each filter has positive weight and they tile the band
+    assert (fb.sum(axis=0) > 0).all()
+    # Slaney area norm: peak decreases with bandwidth
+    assert fb.max() < 0.15
+
+
+def test_delta_filters_match_reference_recursion():
+    f = AU.delta_filters(2, 2)
+    assert f.shape == (3, 9)
+    # order-0 is identity
+    assert f[0, 4] == 1.0 and abs(f[0]).sum() == 1.0
+    # order-1 is the standard [-2,-1,0,1,2]/10 regression filter
+    np.testing.assert_allclose(f[1, 2:7], np.array([-2, -1, 0, 1, 2]) / 10.0,
+                               atol=1e-7)
+    # antisymmetric first derivative, symmetric second derivative
+    np.testing.assert_allclose(f[1], -f[1][::-1], atol=1e-7)
+    np.testing.assert_allclose(f[2], f[2][::-1], atol=1e-7)
+
+
+def test_delta_application_matches_conv():
+    rng = np.random.default_rng(1)
+    cfg = AU.FeatureConfig(feat_dim=8, delta_order=2)
+    feat = rng.standard_normal((2, 20, 8)).astype(np.float32)
+    out = np.asarray(AU.add_deltas(cfg, jnp.asarray(feat)))
+    assert out.shape == (2, 20, 24)
+    # d0 block is the input itself
+    np.testing.assert_allclose(out[:, :, :8], feat, atol=1e-5)
+    # d1 center equals manual correlation with the order-1 filter
+    filt = AU.delta_filters(2, 2)[1]
+    t0 = 10
+    manual = sum(filt[k] * feat[0, t0 - 4 + k, 3] for k in range(9))
+    np.testing.assert_allclose(out[0, t0, 8 + 3], manual, rtol=1e-4, atol=1e-5)
+
+
+def test_extract_features_shapes_and_padding():
+    rng = np.random.default_rng(2)
+    cfg = AU.FeatureConfig(feat_dim=40, delta_order=2)
+    wav = rng.standard_normal((2, 4800)).astype(np.float32)
+    wav[1, 2400:] = 0.0
+    wav_len = jnp.asarray([4800, 2400])
+    feat, feat_len = AU.extract_features(cfg, jnp.asarray(wav), wav_len)
+    assert feat.shape[0] == 2 and feat.shape[2] == 120
+    assert int(feat_len[0]) == cfg.frames_for_samples(4800)
+    assert int(feat_len[1]) == cfg.frames_for_samples(2400)
+    # padding frames zeroed
+    assert float(np.abs(np.asarray(feat[1, int(feat_len[1]):]).sum())) == 0.0
+    # features normalized to [0,1]
+    assert np.asarray(feat[:, :, :40]).min() >= 0.0
+    assert np.asarray(feat[:, :, :40]).max() <= 1.0
+
+
+def test_cmvn():
+    rng = np.random.default_rng(3)
+    feat = jnp.asarray(rng.standard_normal((2, 30, 4)).astype(np.float32) * 3 + 1)
+    feat_len = jnp.asarray([30, 20])
+    out = np.asarray(AU.apply_cmvn(feat, feat_len))
+    m = out[0].mean(axis=0)
+    np.testing.assert_allclose(m, 0.0, atol=1e-5)
+    # valid-region stats for the short utterance
+    np.testing.assert_allclose(out[1, :20].mean(axis=0), 0.0, atol=1e-5)
+    assert np.abs(out[1, 20:]).sum() == 0.0
+
+
+def test_preemphasis_matches_reference():
+    wav = jnp.asarray(np.array([[1.0, 2.0, 3.0, 4.0]], np.float32))
+    out = np.asarray(AU.preemphasis(wav, 0.97))
+    np.testing.assert_allclose(
+        out[0], [1.0, 2.0 - 0.97, 3.0 - 0.97 * 2, 4.0 - 0.97 * 3], rtol=1e-6)

@@ -1,0 +1,124 @@
+"""Golden tests: CTC loss vs torch.nn.CTCLoss (ATen CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from e2e_asr_pytorch_tpu.ops import ctc as C
+from e2e_asr_pytorch_tpu.ops.losses import (cross_entropy_loss,
+                                            label_smoothing_loss, nll_loss)
+
+
+def _rand_case(rng, b, t, v, lmax):
+    logits = rng.standard_normal((b, t, v)).astype(np.float32)
+    logp = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+    input_len = rng.integers(lmax * 2 + 2, t + 1, b)
+    label_len = rng.integers(1, lmax + 1, b)
+    labels = np.zeros((b, lmax), np.int64)
+    for i in range(b):
+        labels[i, :label_len[i]] = rng.integers(1, v, label_len[i])
+    return logp, input_len, labels, label_len
+
+
+def test_ctc_loss_matches_torch_mean():
+    rng = np.random.default_rng(0)
+    logp, input_len, labels, label_len = _rand_case(rng, 4, 30, 10, 8)
+    t_loss = torch.nn.CTCLoss(blank=0, reduction="mean")(
+        logp.transpose(0, 1), torch.from_numpy(labels),
+        torch.from_numpy(input_len), torch.from_numpy(label_len))
+    j_loss = C.ctc_loss(jnp.asarray(logp.numpy()), jnp.asarray(input_len),
+                        jnp.asarray(labels), jnp.asarray(label_len))
+    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-4)
+
+
+def test_ctc_loss_matches_torch_none():
+    rng = np.random.default_rng(1)
+    logp, input_len, labels, label_len = _rand_case(rng, 6, 25, 7, 6)
+    t_loss = torch.nn.CTCLoss(blank=0, reduction="none")(
+        logp.transpose(0, 1), torch.from_numpy(labels),
+        torch.from_numpy(input_len), torch.from_numpy(label_len))
+    j_loss = C.ctc_loss(jnp.asarray(logp.numpy()), jnp.asarray(input_len),
+                        jnp.asarray(labels), jnp.asarray(label_len),
+                        reduction="none")
+    np.testing.assert_allclose(np.asarray(j_loss), t_loss.numpy(), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_ctc_loss_repeated_labels():
+    # repeated labels exercise the skip-transition mask
+    logp = torch.log_softmax(torch.randn(1, 12, 5), dim=-1)
+    labels = np.array([[2, 2, 3, 3]], np.int64)
+    t_loss = torch.nn.CTCLoss(blank=0, reduction="none")(
+        logp.transpose(0, 1), torch.from_numpy(labels),
+        torch.tensor([12]), torch.tensor([4]))
+    j_loss = C.ctc_loss(jnp.asarray(logp.numpy()), jnp.asarray([12]),
+                        jnp.asarray(labels), jnp.asarray([4]),
+                        reduction="none")
+    np.testing.assert_allclose(np.asarray(j_loss), t_loss.numpy(), rtol=1e-4)
+
+
+def test_ctc_grad_matches_torch():
+    rng = np.random.default_rng(2)
+    b, t, v, lmax = 2, 15, 6, 4
+    logits = rng.standard_normal((b, t, v)).astype(np.float32)
+    input_len = np.array([15, 12])
+    labels = np.array([[1, 2, 3, 0], [4, 5, 0, 0]], np.int64)
+    label_len = np.array([3, 2])
+
+    t_logits = torch.from_numpy(logits.copy()).requires_grad_(True)
+    t_logp = torch.log_softmax(t_logits, dim=-1)
+    t_loss = torch.nn.CTCLoss(blank=0, reduction="mean")(
+        t_logp.transpose(0, 1), torch.from_numpy(labels),
+        torch.from_numpy(input_len), torch.from_numpy(label_len))
+    t_loss.backward()
+
+    def loss_fn(lg):
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        return C.ctc_loss(lp, jnp.asarray(input_len), jnp.asarray(labels),
+                          jnp.asarray(label_len))
+
+    g = jax.grad(loss_fn)(jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(g), t_logits.grad.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_greedy_collapse():
+    ids = jnp.asarray([[0, 3, 3, 0, 3, 4, 4, 1]])
+    out = np.asarray(C.ctc_greedy_collapse(ids))
+    assert out[0, :4].tolist() == [3, 3, 4, 1]
+    assert (out[0, 4:] == 0).all()
+
+
+def test_label_smoothing_matches_torch_formula():
+    rng = np.random.default_rng(3)
+    n, v = 12, 31
+    logits = rng.standard_normal((n, v)).astype(np.float32)
+    targets = rng.integers(0, v, n)
+    # replicate reference LabelSmoothingLoss (src/util.py:11-25)
+    lp = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+    true_dist = torch.zeros_like(lp).fill_(0.1 / (v - 1))
+    true_dist.scatter_(1, torch.from_numpy(targets).unsqueeze(1), 0.9)
+    ref = torch.mean(torch.sum(-true_dist * lp, dim=-1))
+    got = label_smoothing_loss(jnp.asarray(logits), jnp.asarray(targets), v, 0.1)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_cross_entropy_ignore_index():
+    rng = np.random.default_rng(4)
+    logits = rng.standard_normal((6, 9)).astype(np.float32)
+    targets = np.array([0, 1, 2, 0, 3, 4])
+    ref = torch.nn.CrossEntropyLoss(ignore_index=0)(
+        torch.from_numpy(logits), torch.from_numpy(targets))
+    got = cross_entropy_loss(jnp.asarray(logits), jnp.asarray(targets))
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_nll_loss():
+    rng = np.random.default_rng(5)
+    logits = rng.standard_normal((4, 7)).astype(np.float32)
+    lp = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+    targets = np.array([1, 0, 3, 2])
+    ref = torch.nn.NLLLoss(ignore_index=0)(lp, torch.from_numpy(targets))
+    got = nll_loss(jnp.asarray(lp.numpy()), jnp.asarray(targets))
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)

@@ -1,0 +1,45 @@
+import numpy as np
+
+from e2e_asr_pytorch_tpu.utils import metrics
+from e2e_asr_pytorch_tpu.data.tokenizer import CharacterTextEncoder
+
+
+def test_edit_distance_basic():
+    assert metrics.edit_distance([1, 2, 3], [1, 2, 3]) == 0
+    assert metrics.edit_distance([1, 2, 3], [1, 3]) == 1
+    assert metrics.edit_distance([], [1, 2]) == 2
+    assert metrics.edit_distance([1, 2], []) == 2
+    assert metrics.edit_distance([1, 2, 3, 4], [2, 3, 4, 5]) == 2
+
+
+def test_native_matches_python():
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        a = rng.integers(0, 5, rng.integers(0, 30)).tolist()
+        b = rng.integers(0, 5, rng.integers(0, 30)).tolist()
+        assert metrics.edit_distance(a, b) == metrics._py_levenshtein(a, b)
+
+
+def test_wer_strings():
+    assert metrics.wer_strings("a b c", "a b c") == 0.0
+    assert metrics.wer_strings("a x c", "a b c") == 1 / 3
+    assert metrics.cer_strings("abc", "abd") == 1 / 3
+
+
+def test_cal_er_batch():
+    tok = CharacterTextEncoder(["A", "B", "C", " "])
+    # vocab: pad=0 eos=1 unk=2 A=3 B=4 C=5 ' '=6
+    truth = np.array([[3, 4, 1, 0], [3, 3, 3, 1]])      # "AB", "AAA"
+    pred = np.array([[3, 4, 1, 0], [3, 5, 3, 1]])       # "AB", "ACA"
+    cer = metrics.cal_er(tok, pred, truth, mode="cer")
+    assert abs(cer - (0.0 + 1 / 3) / 2) < 1e-9
+
+
+def test_cal_er_logits_and_ctc():
+    tok = CharacterTextEncoder(["A", "B"])
+    # logits (B,L,V): argmax -> [3,3,4,1] -> ctc collapse "AB"
+    logits = np.zeros((1, 4, 5))
+    for t, v in enumerate([3, 3, 4, 1]):
+        logits[0, t, v] = 5.0
+    truth = np.array([[3, 4, 1]])
+    assert metrics.cal_er(tok, logits, truth, mode="cer", ctc=True) == 0.0

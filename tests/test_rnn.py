@@ -1,0 +1,119 @@
+"""Golden tests: scan RNNs vs torch.nn.LSTM/GRU on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from e2e_asr_pytorch_tpu.ops import rnn as R
+
+
+def _torch_lstm_params_to_jax(lstm, layer=0, reverse=False):
+    sfx = "_reverse" if reverse else ""
+    w_ih = getattr(lstm, f"weight_ih_l{layer}{sfx}").detach().numpy()
+    w_hh = getattr(lstm, f"weight_hh_l{layer}{sfx}").detach().numpy()
+    b_ih = getattr(lstm, f"bias_ih_l{layer}{sfx}").detach().numpy()
+    b_hh = getattr(lstm, f"bias_hh_l{layer}{sfx}").detach().numpy()
+    return {"w_x": jnp.asarray(w_ih.T), "w_h": jnp.asarray(w_hh.T),
+            "b": jnp.asarray(b_ih + b_hh)}
+
+
+def _torch_gru_params_to_jax(gru, layer=0, reverse=False):
+    sfx = "_reverse" if reverse else ""
+    w_ih = getattr(gru, f"weight_ih_l{layer}{sfx}").detach().numpy()
+    w_hh = getattr(gru, f"weight_hh_l{layer}{sfx}").detach().numpy()
+    b_ih = getattr(gru, f"bias_ih_l{layer}{sfx}").detach().numpy()
+    b_hh = getattr(gru, f"bias_hh_l{layer}{sfx}").detach().numpy()
+    return {"w_x": jnp.asarray(w_ih.T), "w_h": jnp.asarray(w_hh.T),
+            "b_x": jnp.asarray(b_ih), "b_h": jnp.asarray(b_hh)}
+
+
+def test_lstm_matches_torch():
+    torch.manual_seed(0)
+    b, t, d, h = 3, 11, 6, 5
+    lstm = torch.nn.LSTM(d, h, batch_first=True)
+    x = torch.randn(b, t, d)
+    y_t, (h_t, c_t) = lstm(x)
+    p = _torch_lstm_params_to_jax(lstm)
+    y_j, (h_j, c_j) = R.lstm_layer(p, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y_j), y_t.detach().numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(h_j), h_t[0].detach().numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(c_j), c_t[0].detach().numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_bilstm_matches_torch():
+    torch.manual_seed(1)
+    b, t, d, h = 2, 9, 4, 7
+    lstm = torch.nn.LSTM(d, h, batch_first=True, bidirectional=True)
+    x = torch.randn(b, t, d)
+    y_t, _ = lstm(x)
+    p_fw = _torch_lstm_params_to_jax(lstm)
+    p_bw = _torch_lstm_params_to_jax(lstm, reverse=True)
+    y_j = R.bilstm_layer(p_fw, p_bw, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y_j), y_t.detach().numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_gru_matches_torch():
+    torch.manual_seed(2)
+    b, t, d, h = 2, 8, 5, 6
+    gru = torch.nn.GRU(d, h, batch_first=True)
+    x = torch.randn(b, t, d)
+    y_t, h_t = gru(x)
+    p = _torch_gru_params_to_jax(gru)
+    y_j, h_j = R.gru_layer(p, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y_j), y_t.detach().numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_stacked_lstm_matches_torch():
+    torch.manual_seed(3)
+    b, t, d, h, layers = 2, 6, 4, 5, 3
+    lstm = torch.nn.LSTM(d, h, num_layers=layers, batch_first=True)
+    x = torch.randn(b, t, d)
+    y_t, (h_t, c_t) = lstm(x)
+    params = [
+        _torch_lstm_params_to_jax(lstm, layer=l) for l in range(layers)]
+    y_j, (h_j, c_j) = R.stacked_sequence(params, "LSTM", jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y_j), y_t.detach().numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(h_j), h_t.detach().numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_stacked_step_matches_sequence():
+    key = jax.random.PRNGKey(0)
+    b, t, d, h, layers = 2, 5, 4, 6, 2
+    params = R.stacked_init(key, "LSTM", d, h, layers)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, t, d))
+    y_seq, (h_seq, c_seq) = R.stacked_sequence(params, "LSTM", x)
+    state = R.stacked_zero_state("LSTM", layers, b, h)
+    outs = []
+    for i in range(t):
+        o, state = R.stacked_step(params, "LSTM", x[:, i], state)
+        outs.append(o)
+    y_step = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(y_step), np.asarray(y_seq),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state[0]), np.asarray(h_seq),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ligru_shapes_and_stability():
+    key = jax.random.PRNGKey(4)
+    p_fw = R.ligru_init(key, 8, 16)
+    p_bw = R.ligru_init(jax.random.fold_in(key, 1), 8, 16)
+    x = jax.random.normal(jax.random.fold_in(key, 2), (3, 12, 8))
+    y = R.biligru_layer(p_fw, p_bw, x)
+    assert y.shape == (3, 12, 32)
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_lstm_forget_bias_init():
+    p = R.lstm_init(jax.random.PRNGKey(0), 4, 6, forget_bias=True)
+    b = np.asarray(p["b"])
+    assert (b[6:12] == 1.0).all()
+    assert (b[:6] == 0.0).all() and (b[12:] == 0.0).all()

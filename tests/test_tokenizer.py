@@ -1,0 +1,68 @@
+import os
+
+import pytest
+
+from e2e_asr_pytorch_tpu.data.tokenizer import (
+    CharacterTextEncoder, WordTextEncoder, GreedySubwordTextEncoder,
+    load_text_encoder)
+
+VOCAB = os.path.join(os.path.dirname(__file__), "..", "corpus",
+                     "librispeech_char.txt")
+
+
+def test_char_roundtrip():
+    tok = load_text_encoder("character", VOCAB)
+    assert tok.vocab_size == 31
+    assert tok.pad_idx == 0 and tok.eos_idx == 1 and tok.unk_idx == 2
+    ids = tok.encode("HELLO WORLD")
+    assert ids[-1] == tok.eos_idx
+    assert tok.decode(ids) == "HELLO WORLD"
+
+
+def test_char_unk_and_strip():
+    tok = load_text_encoder("character", VOCAB)
+    ids = tok.encode("  hi THERE \n")
+    # lowercase not in vocab -> unk
+    assert tok.unk_idx in ids
+    # decode stops at eos, skips pad
+    assert tok.decode([5, 0, 6, 1, 7]) == tok.idx_to_vocab(5) + tok.idx_to_vocab(6)
+
+
+def test_char_ctc_collapse():
+    tok = load_text_encoder("character", VOCAB)
+    a = tok.vocab_to_idx("A")
+    b = tok.vocab_to_idx("B")
+    # repeats collapse, pads (blanks) removed, repeat-after-blank kept?
+    # reference semantics: consecutive equal ids collapse BEFORE pad removal
+    assert tok.decode([a, a, 0, a, b, b, 1], ignore_repeat=True) == "AAB"
+
+
+def test_word_encoder(tmp_path):
+    vf = tmp_path / "words.txt"
+    vf.write_text("HELLO\nWORLD\n")
+    tok = load_text_encoder("word", str(vf))
+    ids = tok.encode("HELLO WORLD HELLO")
+    assert tok.decode(ids) == "HELLO WORLD HELLO"
+    assert tok.token_type == "word"
+
+
+def test_greedy_subword(tmp_path):
+    vf = tmp_path / "sp.vocab"
+    pieces = ["<pad>", "<eos>", "<unk>", "▁HE", "LLO", "▁WORLD", "X"]
+    vf.write_text("\n".join("{}\t0".format(p) for p in pieces))
+    tok = GreedySubwordTextEncoder.load_from_file(str(vf))
+    ids = tok.encode("HELLO WORLD")
+    assert ids == [3, 4, 5, 1]
+    assert tok.decode(ids) == "HELLO WORLD"
+
+
+def test_phone_mode_maps_to_word(tmp_path):
+    vf = tmp_path / "phones.txt"
+    vf.write_text("AA\nAE\nSIL\n")
+    tok = load_text_encoder("phone", str(vf))
+    assert tok.decode(tok.encode("AA SIL AE")) == "AA SIL AE"
+
+
+def test_unknown_mode():
+    with pytest.raises(NotImplementedError):
+        load_text_encoder("nope", VOCAB)
