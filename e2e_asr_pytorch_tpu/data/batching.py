@@ -1,0 +1,210 @@
+"""Static-shape bucketed batching with host prefetch.
+
+TPU-native replacement for the reference's DataLoader/collate machinery
+(reference: src/data.py:104-199, src/collect_batch.py:10-93). Differences by
+design:
+
+  * batches are padded to a SMALL FIXED SET of (samples, tokens) shape
+    buckets so XLA compiles a handful of programs instead of one per batch
+    (the reference pads to the per-batch max, which on TPU would cause a
+    recompile storm);
+  * the reference's dynamic batch halving for long utterances
+    (HALF_BATCHSIZE_AUDIO_LEN=800 frames, src/collect_batch.py:21-24) is kept,
+    but becomes deterministic per shape bucket (sorted data => the whole
+    bucket is long), so each bucket still has a single static batch shape;
+  * audio decode is the only host work; features are computed on device, so
+    batches carry raw padded waveforms;
+  * an async prefetch thread overlaps host decode with device compute
+    (replaces DataLoader worker processes), double-buffering via
+    jax.device_put.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from e2e_asr_pytorch_tpu.data.wav import read_audio, resample_linear
+
+HALF_BATCHSIZE_AUDIO_LEN = 800   # frames; reference src/collect_batch.py:6
+HALF_BATCHSIZE_TEXT_LEN = 150    # tokens; reference src/collect_batch.py:8
+SAMPLE_RATE = 16000
+HOP = 160
+
+# default shape buckets: (seconds, max_tokens). Token caps sized for
+# char-level LibriSpeech (~14 chars/sec plus headroom).
+DEFAULT_BUCKETS_SEC: Tuple[Tuple[float, int], ...] = (
+    (2.0, 48), (4.0, 80), (8.0, 144), (16.0, 272), (35.0, 560))
+
+
+class ShapeBuckets:
+    def __init__(self, buckets_sec=DEFAULT_BUCKETS_SEC,
+                 sample_rate: int = SAMPLE_RATE):
+        self.buckets = [(int(s * sample_rate), l) for s, l in buckets_sec]
+
+    def lookup(self, n_samples: int, n_tokens: int) -> Tuple[int, int]:
+        for cap_s, cap_l in self.buckets:
+            if n_samples <= cap_s and n_tokens <= cap_l:
+                return cap_s, cap_l
+        return self.buckets[-1]
+
+    def clip(self, n_samples: int, n_tokens: int) -> Tuple[int, int]:
+        cap_s, cap_l = self.buckets[-1]
+        return min(n_samples, cap_s), min(n_tokens, cap_l)
+
+
+def _decode(item) -> np.ndarray:
+    wav = item
+    if isinstance(wav, str):
+        wav, sr = read_audio(wav)
+        wav = resample_linear(wav, sr, SAMPLE_RATE)
+    return np.asarray(wav, np.float32)
+
+
+class AudioBatchIterator:
+    """Iterate shape-bucketed batches over a (sorted) AudioDataset.
+
+    Emits dicts: wav (B,S) f32, wav_len (B,) i32, txt (B,L) i32,
+    txt_len (B,) i32, plus the utterance names. B is static per bucket:
+    batch_size, or batch_size//2 when the bucket exceeds
+    HALF_BATCHSIZE_AUDIO_LEN frames in train mode.
+    """
+
+    def __init__(self, dataset, batch_size: int, mode: str = "train",
+                 shuffle: Optional[bool] = None, drop_last: Optional[bool] = None,
+                 buckets: Optional[ShapeBuckets] = None, seed: int = 0,
+                 half_batch: bool = True):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.mode = mode
+        self.shuffle = (mode == "train") if shuffle is None else shuffle
+        self.drop_last = self.shuffle if drop_last is None else drop_last
+        self.buckets = buckets or ShapeBuckets()
+        self.rng = np.random.default_rng(seed)
+        self.half_batch = half_batch
+        # contiguous groups over the duration-sorted dataset = bucketing
+        n = len(dataset)
+        self.groups: List[List[int]] = [
+            list(range(i, min(i + batch_size, n)))
+            for i in range(0, n, batch_size)]
+        if self.drop_last and len(self.groups) > 1 and \
+                len(self.groups[-1]) < batch_size:
+            self.groups.pop()
+
+    def __len__(self):
+        return len(self.groups)
+
+    def _emit(self, idxs: List[int]) -> Dict[str, np.ndarray]:
+        wavs, txts, names = [], [], []
+        for i in idxs:
+            item, toks = self.ds[i]
+            names.append(item if isinstance(item, str) else "utt%d" % i)
+            wavs.append(_decode(item))
+            txts.append(np.asarray(toks, np.int32))
+
+        max_s = max(len(w) for w in wavs)
+        max_l = max(len(t) for t in txts)
+        frames = max_s // HOP
+        if (self.half_batch and self.mode == "train"
+                and frames > HALF_BATCHSIZE_AUDIO_LEN and len(idxs) > 1):
+            wavs, txts, names = wavs[::2], txts[::2], names[::2]
+
+        cap_s, cap_l = self.buckets.lookup(max_s, max_l)
+        b = len(wavs)
+        wav = np.zeros((b, cap_s), np.float32)
+        txt = np.zeros((b, cap_l), np.int32)
+        wav_len = np.zeros((b,), np.int32)
+        txt_len = np.zeros((b,), np.int32)
+        for j, (w, t) in enumerate(zip(wavs, txts)):
+            s, l = min(len(w), cap_s), min(len(t), cap_l)
+            wav[j, :s] = w[:s]
+            txt[j, :l] = t[:l]
+            wav_len[j] = s
+            txt_len[j] = int((t[:l] != 0).sum())
+        return {"name": names, "wav": wav, "wav_len": wav_len,
+                "txt": txt, "txt_len": txt_len}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.groups))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for gi in order:
+            yield self._emit(self.groups[gi])
+
+
+class TextBatchIterator:
+    """LM batches: (B,L) int32 padded token ids, shape-bucketed by length.
+
+    Keeps the reference's halving of very long text batches
+    (HALF_BATCHSIZE_TEXT_LEN, src/collect_batch.py:87-88).
+    """
+
+    TOKEN_BUCKETS = (24, 48, 96, 160, 320, 640)
+
+    def __init__(self, texts: List[List[int]], batch_size: int,
+                 mode: str = "train", seed: int = 0):
+        self.texts = texts
+        self.batch_size = batch_size
+        self.mode = mode
+        self.rng = np.random.default_rng(seed)
+        n = len(texts)
+        self.groups = [list(range(i, min(i + batch_size, n)))
+                       for i in range(0, n, batch_size)]
+        if mode == "train" and len(self.groups) > 1 and \
+                len(self.groups[-1]) < batch_size:
+            self.groups.pop()
+
+    def __len__(self):
+        return len(self.groups)
+
+    def _bucket(self, l: int) -> int:
+        for c in self.TOKEN_BUCKETS:
+            if l <= c:
+                return c
+        return self.TOKEN_BUCKETS[-1]
+
+    def __iter__(self):
+        order = np.arange(len(self.groups))
+        if self.mode == "train":
+            self.rng.shuffle(order)
+        for gi in order:
+            idxs = self.groups[gi]
+            seqs = [self.texts[i] for i in idxs]
+            if self.mode == "train" and len(seqs[0]) > HALF_BATCHSIZE_TEXT_LEN:
+                seqs = seqs[:max(1, len(seqs) // 2)]
+            cap = self._bucket(max(len(s) for s in seqs))
+            b = len(seqs)
+            txt = np.zeros((b, cap), np.int32)
+            txt_len = np.zeros((b,), np.int32)
+            for j, s in enumerate(seqs):
+                l = min(len(s), cap)
+                txt[j, :l] = s[:l]
+                txt_len[j] = l
+            yield {"txt": txt, "txt_len": txt_len}
+
+
+def prefetch(iterator, size: int = 2, to_device=None):
+    """Run an iterator in a background thread, optionally moving batches to
+    device (jax.device_put), keeping `size` batches in flight."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for batch in iterator:
+                if to_device is not None:
+                    batch = to_device(batch)
+                q.put(batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

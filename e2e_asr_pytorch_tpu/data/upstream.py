@@ -1,0 +1,45 @@
+"""Pluggable upstream feature extractors (the S3PRL hook).
+
+The reference can swap its fbank front-end for S3PRL upstream models via
+--upstream (reference: bin/train_asr.py:32-89, paired with the Featemb
+vgg=7 frontend). S3PRL isn't available in this environment, so the
+capability is exposed as a registry: an upstream is a callable
+(wav (B,S) f32, wav_len (B,)) -> (feat (B,T,D) f32, feat_len (B,)) plus its
+output dim. A built-in 'fbank80' upstream demonstrates the contract; users
+register their own (e.g. a JAX wav2vec port) with @register_upstream.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+_REGISTRY: Dict[str, Tuple[Callable, int]] = {}
+
+
+def register_upstream(name: str, out_dim: int):
+    def deco(fn):
+        _REGISTRY[name] = (fn, out_dim)
+        return fn
+    return deco
+
+
+def get_upstream(name: str):
+    if name not in _REGISTRY:
+        raise KeyError(
+            "upstream `{}` is not registered (available: {}). Register one "
+            "with e2e_asr_pytorch_tpu.data.upstream.register_upstream".format(
+                name, sorted(_REGISTRY)))
+    return _REGISTRY[name]
+
+
+def _builtin_fbank80():
+    import jax.numpy as jnp
+    from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+    cfg = FeatureConfig(feat_type="fbank", feat_dim=80, delta_order=0)
+
+    @register_upstream("fbank80", cfg.out_dim)
+    def fbank80(wav, wav_len):
+        return extract_features(cfg, wav, wav_len)
+
+
+_builtin_fbank80()

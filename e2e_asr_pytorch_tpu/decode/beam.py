@@ -1,0 +1,306 @@
+"""Fully batched on-device beam search (joint CTC / attention / LM).
+
+Rebuild of the reference BeamDecoder + Hypothesis machinery (reference:
+src/decode.py:14-281) as ONE jitted lax.scan over decode steps with a beam
+axis — replacing the reference's per-utterance, per-hypothesis Python loops
+and joblib process fan-out (reference bin/test_asr.py:108,138). All
+hypothesis bookkeeping is fixed-shape arrays:
+
+  * every live hypothesis advances one token per step, so prefix length is
+    uniform and all state (decoder LSTM, location-aware attention map, LM
+    state, CTC prefix forward variables) carries a (B, K) beam axis and is
+    gathered by parent index after each expansion;
+  * scoring matches the reference: per-step combined score
+    (1-ctc_w)*att + ctc_w*(psi_t - psi_{t-1}) + lm_w*lm, hypotheses ranked
+    by length-averaged total (Hypothesis.avgScore, src/decode.py:214-217);
+  * CTC prefix rescoring is restricted to the per-beam top
+    ceil(1.5*beam) candidates (CTC_BEAM_RATIO, src/decode.py:10,129-141),
+    scattered back at LOG_ZERO elsewhere, <sos>/<pad> blocked;
+  * <eos> is accepted only when logp(eos) > eos_threshold * max logp(other)
+    (reference src/decode.py:235-241) and t >= min_len; accepted finals join
+    a fixed-size finished pool keeping the best K by avgScore; when an
+    utterance hits its max-length cap its live beams are pooled in, like the
+    reference's final rescoring of unfinished hypotheses (src/decode.py:179-183).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_pytorch_tpu.models import asr as M
+from e2e_asr_pytorch_tpu.models import encoder as E
+from e2e_asr_pytorch_tpu.models import lm as LM
+from e2e_asr_pytorch_tpu.ops import attention as A
+from e2e_asr_pytorch_tpu.ops import ctc_prefix as CP
+
+CTC_BEAM_RATIO = 1.5   # reference src/decode.py:10
+LOG_ZERO = -1e7        # reference src/decode.py:11
+NEG_INF = -1e30
+
+
+class BeamConfig(NamedTuple):
+    beam_size: int
+    min_len_ratio: float
+    max_len_ratio: float
+    ctc_weight: float = 0.0
+    lm_weight: float = 0.0
+    eos_threshold: float = 1.5
+    max_steps: int = 0          # static cap on decode steps (padded shapes)
+
+    @property
+    def apply_ctc(self) -> bool:
+        return self.ctc_weight > 0
+
+    @property
+    def apply_lm(self) -> bool:
+        return self.lm_weight > 0
+
+    @property
+    def ctc_beam_size(self) -> int:
+        return int(CTC_BEAM_RATIO * self.beam_size)
+
+
+def _gather_k(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather along beam axis 1 of (B,K,...) with idx (B,K)."""
+    ix = idx.reshape(idx.shape + (1,) * (x.ndim - 2)).astype(jnp.int32)
+    return jnp.take_along_axis(x, ix, axis=1)
+
+
+def _gather_state(tree, idx: jnp.ndarray):
+    """Gather along beam axis 2 of (L,B,K,H) state leaves with idx (B,K)."""
+    def g(x):
+        ix = idx[None, :, :, None].astype(jnp.int32)
+        return jnp.take_along_axis(x, ix, axis=2)
+    return jax.tree.map(g, tree)
+
+
+def _set_step(tokens: jnp.ndarray, t, value: jnp.ndarray) -> jnp.ndarray:
+    """tokens (B,K,L); write value (B,K) at traced position t."""
+    onehot = (jnp.arange(tokens.shape[-1]) == t)[None, None, :]
+    return jnp.where(onehot, value[:, :, None], tokens)
+
+
+def _scatter_v(base: jnp.ndarray, idx: jnp.ndarray,
+               val: jnp.ndarray) -> jnp.ndarray:
+    """Scatter val (B,K,C) into base (B,K,V) at idx (B,K,C) on axis -1."""
+    b, k, c = idx.shape
+    out = jax.vmap(lambda bs, ix, vl: bs.at[ix].set(vl))(
+        base.reshape(b * k, -1), idx.reshape(b * k, c), val.reshape(b * k, c))
+    return out.reshape(base.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "cfg", "lm_spec", "compute_dtype"))
+def beam_decode(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
+                feat: jnp.ndarray, feat_len: jnp.ndarray,
+                lm_params: Optional[Dict] = None,
+                lm_spec: Optional[LM.LMSpec] = None,
+                compute_dtype=jnp.float32):
+    """Beam-decode a padded batch.
+
+    Returns dict: tokens (B,K,L) best-first, avg_scores (B,K), out_len (B,K).
+    """
+    assert spec.enable_att, "beam decoder requires an attention decoder"
+    b = feat.shape[0]
+    k = cfg.beam_size
+    c = cfg.ctc_beam_size
+    v = spec.vocab_size
+    l_max = cfg.max_steps
+
+    # ----- encode once -----
+    enc_feat, enc_len = E.encoder_apply(params["encoder"], spec.encoder,
+                                        feat, feat_len, train=False,
+                                        compute_dtype=compute_dtype)
+    t_enc = enc_feat.shape[1]
+    cache = A.precompute(params["attention"], spec.attention, enc_feat,
+                         enc_len, compute_dtype)
+    cache_k = jax.tree.map(lambda x: jnp.repeat(x, k, axis=0), cache)
+
+    min_len = jnp.ceil(enc_len.astype(jnp.float32) * cfg.min_len_ratio)
+    max_len = jnp.ceil(enc_len.astype(jnp.float32) * cfg.max_len_ratio)
+    max_len = jnp.clip(max_len, 1, l_max).astype(jnp.int32)
+
+    # ----- CTC posteriors + prefix state -----
+    if cfg.apply_ctc:
+        ctc_logp = M.ctc_log_probs(params, spec, enc_feat, compute_dtype)
+        r = jnp.repeat(CP.init_state(ctc_logp, enc_len)[:, None], k, axis=1)
+    else:
+        ctc_logp = None
+        r = jnp.zeros((b, k, 1, 2))
+    psi_prev = jnp.zeros((b, k))
+
+    # ----- initial beam state (only beam 0 live to avoid duplicates) -----
+    dec_state = jax.tree.map(lambda x: jnp.repeat(x[:, :, None], k, axis=2),
+                             M.dec_zero_state(spec, b))
+    prev_att = jnp.repeat(
+        A.init_prev_att(enc_len, t_enc, spec.attention.num_head)[:, None],
+        k, axis=1)
+    lm_state = (jax.tree.map(lambda x: jnp.repeat(x[:, :, None], k, axis=2),
+                             LM.lm_zero_state(lm_spec, b))
+                if cfg.apply_lm else None)
+
+    carry = dict(
+        dec_state=dec_state, prev_att=prev_att, lm_state=lm_state,
+        r=r, psi_prev=psi_prev,
+        tokens=jnp.zeros((b, k, l_max), jnp.int32),
+        score_sum=jnp.zeros((b, k)).at[:, 1:].set(NEG_INF),
+        alive=jnp.ones((b, k), bool).at[:, 1:].set(False),
+        fin_tokens=jnp.zeros((b, k, l_max), jnp.int32),
+        fin_scores=jnp.full((b, k), NEG_INF),
+        fin_len=jnp.zeros((b, k), jnp.int32))
+
+    def step(carry, t):
+        idx_prev = jnp.full((b, k, 1), 1, jnp.int32) * jnp.maximum(t - 1, 0)
+        last_tok = jnp.where(
+            t > 0,
+            jnp.take_along_axis(carry["tokens"], idx_prev, axis=2)[:, :, 0],
+            0)                                                    # B,K
+
+        # ---- decoder step over the flattened beam ----
+        emb = params["pre_embed"][last_tok]                       # B,K,E
+        dec_state_f = jax.tree.map(
+            lambda x: x.reshape(x.shape[0], b * k, x.shape[-1]),
+            carry["dec_state"])
+        logits, _attn, _dst, dec_state_f, prev_att_f = M.attend_and_decode(
+            params, spec, cache_k, emb.reshape(b * k, -1), dec_state_f,
+            carry["prev_att"].reshape((b * k,) + carry["prev_att"].shape[2:]),
+            rng=None, train=False, compute_dtype=compute_dtype)
+        att_logp = jax.nn.log_softmax(logits, -1).reshape(b, k, v)
+        new_dec_state = jax.tree.map(
+            lambda x: x.reshape(x.shape[0], b, k, x.shape[-1]), dec_state_f)
+        new_prev_att = prev_att_f.reshape((b, k) + prev_att_f.shape[1:])
+
+        cur = att_logp
+
+        # ---- CTC prefix rescoring on top-C candidates ----
+        if cfg.apply_ctc:
+            _, cand = jax.lax.top_k(cur, c)                       # B,K,C
+            psi, r_new = CP.score_candidates(
+                ctc_logp, enc_len, carry["r"], carry["psi_prev"], last_tok,
+                cand, t)
+            ctc_char = psi - carry["psi_prev"][:, :, None]        # B,K,C
+            scattered = _scatter_v(jnp.full((b, k, v), LOG_ZERO), cand,
+                                   ctc_char)
+            cur = (1 - cfg.ctc_weight) * cur + cfg.ctc_weight * scattered
+        else:
+            cand, psi, r_new = None, None, None
+
+        # block <sos>/<pad> (reference src/decode.py:141)
+        cur = cur.at[:, :, 0].set(LOG_ZERO)
+
+        # ---- LM shallow fusion ----
+        if cfg.apply_lm:
+            lm_state_f = jax.tree.map(
+                lambda x: x.reshape(x.shape[0], b * k, x.shape[-1]),
+                carry["lm_state"])
+            lm_logits, lm_state_f = LM.lm_step(
+                lm_params, lm_spec, last_tok.reshape(b * k), lm_state_f,
+                compute_dtype)
+            cur = cur + cfg.lm_weight * \
+                jax.nn.log_softmax(lm_logits, -1).reshape(b, k, v)
+            new_lm_state = jax.tree.map(
+                lambda x: x.reshape(x.shape[0], b, k, x.shape[-1]), lm_state_f)
+        else:
+            new_lm_state = carry["lm_state"]
+
+        # ---- per-beam top-K expansion ----
+        topv, topi = jax.lax.top_k(cur, k)                        # B,K,K
+
+        max_no_eos = jnp.max(att_logp[:, :, 2:], axis=-1)         # B,K
+        eos_ok = att_logp[:, :, 1] > cfg.eos_threshold * max_no_eos
+        is_eos = topi == 1
+        len_ok = (t >= min_len)[:, None, None]
+        final_mask = (is_eos & eos_ok[:, :, None] & len_ok
+                      & carry["alive"][:, :, None])               # B,K,K
+
+        expandable = (~is_eos) & carry["alive"][:, :, None] \
+            & (t < max_len)[:, None, None]
+        new_len = (t + 1).astype(jnp.float32)
+        cand_sum = carry["score_sum"][:, :, None] + topv          # B,K,K
+        cand_avg = jnp.where(expandable, cand_sum / new_len, NEG_INF)
+
+        # ---- finished pool update (eos finals + max-len cap) ----
+        fin_eos_avg = jnp.where(
+            jnp.any(final_mask, -1),
+            (carry["score_sum"]
+             + jnp.max(jnp.where(final_mask, topv, NEG_INF), -1)) / new_len,
+            NEG_INF)                                              # B,K
+        fin_eos_tok = _set_step(carry["tokens"], t,
+                                jnp.ones((b, k), jnp.int32))
+        at_cap = (t == max_len)[:, None] & carry["alive"]         # B,K
+        cap_avg = jnp.where(
+            at_cap, carry["score_sum"] / jnp.maximum(t.astype(jnp.float32), 1.0),
+            NEG_INF)
+        pool_scores = jnp.concatenate(
+            [carry["fin_scores"], fin_eos_avg, cap_avg], 1)       # B,3K
+        pool_tokens = jnp.concatenate(
+            [carry["fin_tokens"], fin_eos_tok, carry["tokens"]], 1)
+        pool_len = jnp.concatenate(
+            [carry["fin_len"],
+             jnp.full((b, k), 1, jnp.int32) * (t + 1),
+             jnp.full((b, k), 1, jnp.int32) * t], 1)
+        _, keep = jax.lax.top_k(pool_scores, k)
+        fin_scores = jnp.take_along_axis(pool_scores, keep, 1)
+        fin_len = jnp.take_along_axis(pool_len, keep, 1)
+        fin_tokens = jnp.take_along_axis(
+            pool_tokens, keep[:, :, None].repeat(l_max, 2), 1)
+
+        # ---- global top-K over (K parents x K candidates) ----
+        sel_avg, sel = jax.lax.top_k(cand_avg.reshape(b, k * k), k)
+        parent = (sel // k).astype(jnp.int32)
+        new_tok = jnp.take_along_axis(topi.reshape(b, k * k), sel, 1)
+        new_alive = sel_avg > NEG_INF / 2
+        score_next = jnp.where(
+            new_alive, jnp.take_along_axis(cand_sum.reshape(b, k * k), sel, 1),
+            NEG_INF)
+        tokens_next = _set_step(_gather_k(carry["tokens"], parent), t,
+                                new_tok)
+
+        dec_state_next = _gather_state(new_dec_state, parent)
+        prev_att_next = _gather_k(new_prev_att, parent)
+        lm_state_next = (_gather_state(new_lm_state, parent)
+                         if cfg.apply_lm else carry["lm_state"])
+
+        if cfg.apply_ctc:
+            r_par = _gather_k(r_new, parent)                      # B,K,C,T,2
+            cand_par = _gather_k(cand, parent)                    # B,K,C
+            psi_par = _gather_k(psi, parent)                      # B,K,C
+            match = cand_par == new_tok[:, :, None]
+            slot = jnp.argmax(match, -1)                          # B,K
+            in_cand = jnp.any(match, -1)
+            r_sel = jnp.take_along_axis(
+                r_par, slot[:, :, None, None, None], axis=2)[:, :, 0]
+            psi_sel = jnp.take_along_axis(psi_par, slot[:, :, None],
+                                          axis=2)[:, :, 0]
+            r_next = jnp.where(in_cand[:, :, None, None], r_sel,
+                               _gather_k(carry["r"], parent))
+            psi_next = jnp.where(in_cand, psi_sel,
+                                 _gather_k(carry["psi_prev"][:, :, None],
+                                           parent)[:, :, 0])
+        else:
+            r_next, psi_next = carry["r"], carry["psi_prev"]
+
+        return dict(dec_state=dec_state_next, prev_att=prev_att_next,
+                    lm_state=lm_state_next, r=r_next, psi_prev=psi_next,
+                    tokens=tokens_next, score_sum=score_next,
+                    alive=new_alive, fin_tokens=fin_tokens,
+                    fin_scores=fin_scores, fin_len=fin_len), None
+
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(l_max))
+
+    # ---- final ranking: finished pool + beams alive at l_max ----
+    live_avg = jnp.where(carry["alive"],
+                         carry["score_sum"] / jnp.asarray(l_max, jnp.float32),
+                         NEG_INF)
+    all_scores = jnp.concatenate([carry["fin_scores"], live_avg], 1)
+    all_tokens = jnp.concatenate([carry["fin_tokens"], carry["tokens"]], 1)
+    all_len = jnp.concatenate(
+        [carry["fin_len"], jnp.full((b, k), l_max, jnp.int32)], 1)
+    best, idx = jax.lax.top_k(all_scores, k)
+    out_tokens = jnp.take_along_axis(all_tokens,
+                                     idx[:, :, None].repeat(l_max, 2), 1)
+    out_len = jnp.take_along_axis(all_len, idx, 1)
+    return {"tokens": out_tokens, "avg_scores": best, "out_len": out_len}

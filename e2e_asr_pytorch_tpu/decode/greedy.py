@@ -1,0 +1,41 @@
+"""Batched greedy decoding (attention argmax and CTC best-path).
+
+The reference's current test solver raises NotImplementedError for greedy
+(reference: bin/test_asr.py:36-38); the working implementation lives in the
+deprecated solver (bin/test_asr_deprecated.py:97-117). Here greedy is a
+first-class batched path: attention decode = asr_apply with argmax feedback
+(teacher=None), CTC = best path + repeat/blank collapse, both on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_pytorch_tpu.models import asr as M
+from e2e_asr_pytorch_tpu.ops.ctc import ctc_greedy_collapse
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "decode_step", "compute_dtype"))
+def greedy_decode(params: Dict, spec: M.ASRSpec, feat: jnp.ndarray,
+                  feat_len: jnp.ndarray, decode_step: int,
+                  compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Returns att_tokens (B,L) (if attention enabled) and ctc_tokens (B,T)
+    (if CTC enabled; blank-collapsed, left-aligned)."""
+    ctc_out, enc_len, att_out, _, _ = M.asr_apply(
+        params, spec, feat, feat_len, decode_step, teacher=None, train=False,
+        compute_dtype=compute_dtype)
+    out = {}
+    if att_out is not None:
+        out["att_tokens"] = jnp.argmax(att_out, axis=-1).astype(jnp.int32)
+    if ctc_out is not None:
+        best = jnp.argmax(ctc_out, axis=-1).astype(jnp.int32)
+        # zero out padded frames so they can't emit
+        mask = jnp.arange(best.shape[1])[None, :] < enc_len[:, None]
+        best = jnp.where(mask, best, 0)
+        out["ctc_tokens"] = ctc_greedy_collapse(best)
+        out["enc_len"] = enc_len
+    return out

@@ -84,12 +84,13 @@ def _conv_init(key, in_ch: int, out_ch: int, k: int = 3) -> Dict:
 
 
 def _conv(p: Dict, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
+    # conv output dtype follows inputs; cast back to f32 after (a mixed
+    # preferred_element_type breaks the transposed conv in the VJP)
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), p["w"].astype(compute_dtype),
         window_strides=(1, 1), padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return y + p["b"]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.astype(jnp.float32) + p["b"]
 
 
 def _maxpool(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:

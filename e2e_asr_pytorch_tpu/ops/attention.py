@@ -117,12 +117,13 @@ def attention_step(params: Dict, cfg: AttnConfig, query: jnp.ndarray,
     elif cfg.mode == "loc":
         # loc features: conv over previous attention along time
         # prev_att (B,N,T) -> (B,T,kernel_num)
+        # note: conv output dtype follows inputs (a mixed
+        # preferred_element_type breaks the transposed conv in the VJP)
         loc = jax.lax.conv_general_dilated(
             prev_att.astype(compute_dtype),
             params["loc_conv"]["w"].astype(compute_dtype),
             window_strides=(1,), padding=[(cfg.loc_kernel_size,) * 2],
-            dimension_numbers=("NCH", "HIO", "NHC"),
-            preferred_element_type=jnp.float32)                   # B,T,Kn
+            dimension_numbers=("NCH", "HIO", "NHC")).astype(jnp.float32)
         loc_ctx = jnp.tanh(linear(params["loc_proj"], loc, compute_dtype))  # B,T,D
         # energy = w_e . tanh(k + q + loc)  per head
         e_in = jnp.tanh(cache["key"] + q[:, None, :, :] + loc_ctx[:, :, None, :])

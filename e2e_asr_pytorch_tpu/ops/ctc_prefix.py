@@ -1,0 +1,138 @@
+"""Batched CTC prefix scoring for joint beam decoding.
+
+TPU-native rebuild of the reference's numpy CTCPrefixScore (reference:
+src/ctc.py:4-108, Watanabe et al. Algo. 2, candidate-restricted
+``cheap_compute``): everything is fixed-shape and jittable, with a batch
+axis (B utterances) AND a beam axis (K hypotheses) so one program scores the
+whole beam at every decode step.
+
+State per (utterance, beam): r (T,2) — log probs of the prefix ending at
+frame t in a (non-blank, blank); plus psi, the prefix score itself. The
+candidate set (size C = ceil(CTC_BEAM_RATIO*K)) changes per step, so scoring
+takes candidates as a (B,K,C) index array and returns (psi (B,K,C),
+r_new (B,K,C,T,2)) for the chosen expansions to be gathered from.
+
+Padding: frames >= enc_len freeze the recursion (carry), matching the
+reference's exact-length arrays at batch=1.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+LOG_ZERO = -1e8  # reference uses -1e8 in src/ctc.py:12
+
+
+def init_state(ctc_logp: jnp.ndarray, enc_len: jnp.ndarray) -> jnp.ndarray:
+    """Initial r for the empty prefix: accumulate blanks over time.
+
+    ctc_logp: (B,T,V) log-softmax CTC posteriors. Returns r0 (B,T,2).
+    (reference src/ctc.py:19-27)
+    """
+    b, t, _ = ctc_logp.shape
+    blank = ctc_logp[:, :, 0]                                     # (B,T)
+    # r[t,1] = cumsum of blank log-probs; frozen past enc_len
+    steps = jnp.arange(t)[None, :]
+    valid = steps < enc_len[:, None]
+    csum = jnp.cumsum(jnp.where(valid, blank, 0.0), axis=1)
+    r = jnp.stack([jnp.full((b, t), LOG_ZERO), csum], axis=-1)    # (B,T,2)
+    return r
+
+
+def score_candidates(ctc_logp: jnp.ndarray, enc_len: jnp.ndarray,
+                     r_prev: jnp.ndarray, psi_prev: jnp.ndarray,
+                     last_tok: jnp.ndarray, candidates: jnp.ndarray,
+                     prefix_len: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score candidate extensions of every beam's prefix.
+
+    Args:
+      ctc_logp:   (B,T,V) log-softmax CTC output.
+      enc_len:    (B,) valid frame counts.
+      r_prev:     (B,K,T,2) prefix forward variables.
+      psi_prev:   (B,K) previous prefix scores (unused by the recursion but
+                  kept for interface symmetry with the reference).
+      last_tok:   (B,K) last token of each prefix (0 when empty).
+      candidates: (B,K,C) int32 candidate token ids.
+      prefix_len: scalar int32 — current prefix length (uniform across the
+                  beam: every live hypothesis at step t has length t).
+
+    Returns (psi (B,K,C), r_new (B,K,C,T,2)).
+    """
+    b, t, v = ctc_logp.shape
+    k = r_prev.shape[1]
+    c = candidates.shape[-1]
+    blank_lp = ctc_logp[:, :, 0]                                  # (B,T)
+
+    # x[t, cand] per beam: gather candidate emissions (B,K,C,T)
+    x = jnp.take_along_axis(
+        ctc_logp[:, None, :, :].repeat(k, axis=1),                # B,K,T,V
+        candidates[:, :, None, :].repeat(t, axis=2), axis=3)      # B,K,T,C
+    x = jnp.moveaxis(x, 3, 2)                                     # B,K,C,T
+
+    # phi[t, cand] = logaddexp(r_prev_nb, r_prev_b) with the non-blank path
+    # closed when cand == last token of the prefix (reference src/ctc.py:87-91)
+    same = (candidates == last_tok[:, :, None]) & (prefix_len > 0)  # B,K,C
+    r_nb = jnp.where(same[:, :, :, None], LOG_ZERO,
+                     r_prev[:, :, None, :, 0])                    # B,K,C,T
+    phi = jnp.logaddexp(r_nb, r_prev[:, :, None, :, 1])           # B,K,C,T
+
+    start = jnp.maximum(1, prefix_len)
+    steps = jnp.arange(t)                                         # (T,)
+    active = steps[None, :] < enc_len[:, None]                    # B,T
+
+    # t = 0 row: only valid for the empty prefix
+    r0_nb = jnp.where(prefix_len == 0, x[:, :, :, 0], LOG_ZERO)   # B,K,C
+    r0_b = jnp.full((b, k, c), LOG_ZERO)
+    # psi starts at r[start-1, 0] — LOG_ZERO unless prefix empty (then x[0])
+    psi0 = r0_nb
+
+    xs = {
+        "x": jnp.moveaxis(x, 3, 0),          # T,B,K,C
+        "phi": jnp.moveaxis(phi, 3, 0),      # T,B,K,C
+        "blank": jnp.moveaxis(
+            blank_lp[:, None, None, :].repeat(k, 1).repeat(c, 2), 3, 0),
+        "act": jnp.moveaxis(
+            active[:, None, None, :].repeat(k, 1).repeat(c, 2), 3, 0),
+        "t": steps,
+    }
+
+    def step(carry, inp):
+        r_nb_p, r_b_p, psi = carry                               # B,K,C each
+        # update only for start <= t < enc_len; otherwise carry (this both
+        # freezes padding frames and leaves rows before the prefix at the
+        # init values, matching the reference's logzero prefix rows)
+        upd = (inp["t"] >= start) & inp["act"]
+        nb_new = jnp.logaddexp(r_nb_p, inp["phi_prev"]) + inp["x"]
+        bl_new = jnp.logaddexp(r_b_p, r_nb_p) + inp["blank"]
+        psi_new = jnp.logaddexp(psi, inp["phi_prev"] + inp["x"])
+        nb = jnp.where(upd, nb_new, r_nb_p)
+        bl = jnp.where(upd, bl_new, r_b_p)
+        psi = jnp.where(upd, psi_new, psi)
+        return (nb, bl, psi), (nb, bl)
+
+    # shift phi by one (phi[t-1] feeds step t)
+    phi_t = xs["phi"]
+    phi_prev = jnp.concatenate([jnp.full((1, b, k, c), LOG_ZERO),
+                                phi_t[:-1]], axis=0)
+    scan_in = {"x": xs["x"], "phi_prev": phi_prev, "blank": xs["blank"],
+               "act": xs["act"], "t": xs["t"]}
+    (_, _, psi), (nb_rows, b_rows) = jax.lax.scan(
+        step, (r0_nb, r0_b, psi0), scan_in)
+    r_new = jnp.stack([nb_rows, b_rows], axis=-1)                 # T,B,K,C,2
+    # overwrite t=0 with the init row (scan step 0 ran with run=False keeps it)
+    r_new = jnp.moveaxis(r_new, 0, 3)                             # B,K,C,T,2
+
+    # eos candidate: psi = logaddexp(r_prev_nb, r_prev_b) at the LAST valid
+    # frame (reference src/ctc.py:106-107)
+    last_idx = jnp.maximum(enc_len - 1, 0)                        # (B,)
+    sum_last = jnp.logaddexp(
+        jnp.take_along_axis(r_prev[..., 0], last_idx[:, None, None].repeat(k, 1), axis=2),
+        jnp.take_along_axis(r_prev[..., 1], last_idx[:, None, None].repeat(k, 1), axis=2))
+    sum_last = sum_last[:, :, 0]                                  # B,K
+    is_eos = candidates == 1
+    psi = jnp.where(is_eos, sum_last[:, :, None], psi)
+    return psi, r_new

@@ -1,0 +1,76 @@
+"""Device mesh construction and sharding rules.
+
+The reference is single-GPU/single-process (SURVEY.md §2.2); the TPU-native
+scaling surface is here instead of NCCL/DDP:
+
+  * ``make_mesh`` builds a jax.sharding.Mesh over ('data', 'model') —
+    data-parallel batch sharding rides ICI, with optional tensor sharding of
+    the large projection/recurrent weights along 'model';
+  * ``batch_sharding`` / ``param_shardings`` produce NamedShardings consumed
+    by jax.jit(in_shardings/out_shardings); XLA GSPMD inserts the collectives
+    (grad psum across 'data', all-gather/reduce-scatter around 'model'
+    matmuls) — no hand-written communication;
+  * pure data parallel is the default (model axis of size 1); the dryrun
+    path exercises a 2D mesh to validate the tensor-parallel annotations.
+
+Param rule: 2D weights whose output dim is large (>= threshold) shard that
+dim on 'model' (covers LSTM gate matmuls (D,4H), projections, embeddings and
+the tied LM softmax); everything else replicates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), "mesh larger than device count"
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place host batch arrays on the mesh, batch-axis sharded."""
+    s = batch_sharding(mesh)
+    return {k: (jax.device_put(v, s) if hasattr(v, "shape") else v)
+            for k, v in batch.items()}
+
+
+def param_shardings(params, mesh: Mesh, min_dim: int = 512):
+    """NamedSharding pytree for params: big matmul weights shard their
+    output dim on 'model', the rest replicate. With a model axis of size 1
+    this degrades to full replication."""
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def rule(x):
+        if (n_model > 1 and hasattr(x, "ndim") and x.ndim == 2
+                and x.shape[-1] >= min_dim and x.shape[-1] % n_model == 0):
+            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def place_params(params, mesh: Mesh, min_dim: int = 512):
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), params,
+                        param_shardings(params, mesh, min_dim))

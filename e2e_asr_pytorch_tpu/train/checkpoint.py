@@ -1,0 +1,58 @@
+"""Checkpoint / resume.
+
+Capability parity with the reference's torch.save checkpoints (reference:
+src/solver.py:108-134 load_ckpt, :176-200 save_checkpoint): a checkpoint
+holds {model params, optimizer state, global_step, <metric>: score}
+(+ optional plugin params) and is written to
+ckpt/<exp>/best_{att|ctc}_<devset>.pth / last_*.pth. Serialization is flax
+msgpack over the pytree (host numpy), so checkpoints are
+framework-version-stable and mmap-friendly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    # to_state_dict lowers namedtuple optax states to plain dicts so the
+    # whole payload is msgpack-serializable
+    return serialization.to_state_dict(
+        jax.tree.map(lambda x: np.asarray(x), tree))
+
+
+def save_checkpoint(path: str, params, opt_state, step: int,
+                    metric_name: str = "", metric_value: float = 0.0,
+                    extra: Optional[Dict[str, Any]] = None) -> None:
+    payload = {
+        "model": _to_host(params),
+        "optimizer": _to_host(opt_state),
+        "global_step": step,
+        "metric_name": metric_name,
+        "metric_value": float(metric_value),
+    }
+    if extra:
+        payload["extra"] = _to_host(extra)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def load_checkpoint(path: str, params_template=None, opt_template=None):
+    """Load a checkpoint. If templates are given, restore exact pytree
+    structure (lists/tuples/namedtuples); otherwise return raw dicts."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    out = dict(payload)
+    if params_template is not None:
+        out["model"] = serialization.from_state_dict(params_template,
+                                                     payload["model"])
+    if opt_template is not None and payload.get("optimizer") is not None:
+        out["optimizer"] = serialization.from_state_dict(opt_template,
+                                                         payload["optimizer"])
+    return out

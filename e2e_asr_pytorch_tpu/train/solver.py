@@ -1,0 +1,137 @@
+"""BaseSolver: the experiment lifecycle shared by all tasks.
+
+Capability parity with the reference BaseSolver (reference:
+src/solver.py:12-240): experiment naming (<config>_sd<seed>), ckpt/log dir
+setup, TensorBoard writer, verbose/progress logging, checkpoint save/load
+with transfer-learning config parsing, and the 3-phase lifecycle
+load_data() -> set_model() -> exec(). Device management is JAX-native: a
+jax.sharding.Mesh replaces the cuda device id, grad clipping + the
+non-finite-guard live inside the jitted update (train/optim.py) instead of a
+host-side backward() helper.
+"""
+
+from __future__ import annotations
+
+import abc
+import os
+from typing import Any, Dict, Optional
+
+import jax
+
+from e2e_asr_pytorch_tpu.parallel import mesh as mesh_lib
+from e2e_asr_pytorch_tpu.train import checkpoint as ckpt_lib
+from e2e_asr_pytorch_tpu.utils.config import DEFAULT_HPARAS, exp_name
+from e2e_asr_pytorch_tpu.utils.logger import Logger
+from e2e_asr_pytorch_tpu.utils.timer import Timer, human_format
+
+
+class BaseSolver(abc.ABC):
+    def __init__(self, config: Dict[str, Any], paras, mode: str):
+        self.config = config
+        self.paras = paras
+        self.mode = mode
+        for k, v in DEFAULT_HPARAS.items():
+            setattr(self, k, v)
+
+        # device / mesh
+        if paras.cpu:
+            jax.config.update("jax_platforms", "cpu")
+        self.devices = jax.devices()
+        self.mesh = mesh_lib.make_mesh(n_data=len(self.devices), n_model=1)
+
+        # bf16 compute on TPU ('--amp' parity flag or config override)
+        import jax.numpy as jnp
+        use_bf16 = getattr(paras, "amp", False) or (
+            self.devices[0].platform == "tpu")
+        self.compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+
+        self.step = 0
+        self.timer = Timer()
+
+        if mode == "train":
+            self.exp_name = exp_name(paras)
+            self.logdir = os.path.join(paras.logdir, self.exp_name)
+            self.ckpdir = os.path.join(paras.ckpdir, self.exp_name)
+            os.makedirs(self.ckpdir, exist_ok=True)
+            self.log = Logger(self.logdir, paras.verbose, self.TB_FLUSH_FREQ)
+            hp = self.config["hparas"]
+            self.valid_step = hp.get("valid_step", 2000)
+            self.max_step = hp.get("max_step", 100000)
+        else:
+            # test mode: reload the train config pointed by src: (reference
+            # src/solver.py:83-84), keep decode/data blocks from this config
+            self.exp_name = exp_name(paras)
+            for d in (paras.outdir,):
+                os.makedirs(d, exist_ok=True)
+            self.ckpdir = paras.ckpdir
+            self.log = Logger(None, paras.verbose)
+
+        self.verbose("Experiment {} on {} device(s): {}".format(
+            self.exp_name, len(self.devices), self.devices[0].platform))
+
+        # transfer learning block (reference src/solver.py:41-51)
+        self.transfer_learning = False
+        if mode == "train" and "transfer" in self.config:
+            t = self.config["transfer"]
+            self.transfer_learning = True
+            self.train_enc = t["train_enc"]       # list of trainable enc layers
+            self.fix_enc = t.get("fix_enc", [])
+            self.train_dec = t["train_dec"]
+            self.fix_dec = not t["train_dec"]
+            self.save_name = t.get("save_name", "_transfer")
+
+    # ------------------------------------------------------------------ io
+    def verbose(self, msg):
+        self.log.verbose(msg)
+
+    def progress(self, msg):
+        self.log.progress(msg)
+
+    def write_log(self, name, value):
+        self.log.write_log(name, value, self.step)
+
+    # ------------------------------------------------------------ chkpoint
+    def save_checkpoint(self, fname: str, metric: str, score: float,
+                        show_msg: bool = True, extra: Optional[Dict] = None):
+        path = os.path.join(self.ckpdir, fname)
+        ckpt_lib.save_checkpoint(path, self.params, self.opt_state, self.step,
+                                 metric, score, extra)
+        if show_msg:
+            self.verbose("Saved checkpoint (step = {}, {} = {:.2f}) and status @ {}"
+                         .format(human_format(self.step), metric, score, path))
+
+    def load_ckpt(self, params_template=None, opt_template=None):
+        """Load model/optimizer/step from --load (training resume) or from
+        config['src']['ckpt'] (testing)."""
+        load_path = self.paras.load if self.mode == "train" else \
+            self.config["src"]["ckpt"]
+        if not load_path:
+            return None
+        ckpt = ckpt_lib.load_checkpoint(
+            load_path,
+            params_template if params_template is not None else getattr(self, "params", None),
+            opt_template if opt_template is not None else getattr(self, "opt_state", None))
+        self.params = ckpt["model"]
+        if self.mode == "train":
+            if ckpt.get("optimizer") is not None and not self.transfer_learning:
+                self.opt_state = ckpt["optimizer"]
+            self.step = int(ckpt.get("global_step", 0))
+            self.verbose("Load ckpt from {}, restarting at step {}".format(
+                load_path, self.step))
+        else:
+            self.verbose("Evaluating ckpt from {} (step {})".format(
+                load_path, ckpt.get("global_step", "?")))
+        return ckpt
+
+    # ------------------------------------------------------------- phases
+    @abc.abstractmethod
+    def load_data(self):
+        ...
+
+    @abc.abstractmethod
+    def set_model(self):
+        ...
+
+    @abc.abstractmethod
+    def exec(self):
+        ...

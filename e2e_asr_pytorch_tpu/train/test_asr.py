@@ -1,0 +1,149 @@
+"""ASR test solver: batched greedy / beam decoding over dev + test sets.
+
+Capability parity with the reference test solver (reference:
+bin/test_asr.py:13-173): rebuilds the model from the training config pointed
+at by ``src:``, loads the checkpoint, decodes both splits and writes
+``<outdir>/<exp>_<split>_output.csv`` (idx/hyp/truth TSV) plus
+``_beam.csv`` (idx/beam/hyp/truth) when beam > 1 — the exact format the
+offline eval tools consume. Differences by design: decoding runs BATCHED on
+device (decode/beam.py) instead of joblib process forks, and greedy decoding
+works (the reference raises NotImplementedError, bin/test_asr.py:38).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_pytorch_tpu.data.loaders import load_dataset
+from e2e_asr_pytorch_tpu.decode.beam import BeamConfig, beam_decode
+from e2e_asr_pytorch_tpu.decode.greedy import greedy_decode
+from e2e_asr_pytorch_tpu.models import asr as M
+from e2e_asr_pytorch_tpu.models import lm as LM
+from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+from e2e_asr_pytorch_tpu.train import checkpoint as ckpt_lib
+from e2e_asr_pytorch_tpu.train.solver import BaseSolver
+from e2e_asr_pytorch_tpu.utils.config import load_config
+
+
+class Solver(BaseSolver):
+    def __init__(self, config, paras, mode):
+        super().__init__(config, paras, mode)
+        decode_cfg = dict(self.config["decode"])
+        self.greedy = decode_cfg.get("beam_size", 1) == 1
+        self.beam_size = decode_cfg.get("beam_size", 1)
+        self.dec_ctc_weight = decode_cfg.get("ctc_weight", 0.0)
+        self.lm_weight = decode_cfg.get("lm_weight", 0.0)
+        self.lm_path = decode_cfg.get("lm_path", "")
+        self.lm_config = decode_cfg.get("lm_config", "")
+        self.min_len_ratio = decode_cfg.get("min_len_ratio", 0.0)
+        self.max_len_ratio = decode_cfg.get("max_len_ratio", 1.0)
+        self.output_file = os.path.join(
+            paras.outdir, "{}_{{}}_{{}}.csv".format(self.exp_name))
+
+    def load_data(self):
+        self.dv_set, self.tt_set, self.feat_dim, self.vocab_size, \
+            self.tokenizer, msg = load_dataset(
+                self.paras.njobs, self.paras.gpu, self.paras.pin_memory,
+                False, **self.config["data"], mode="eval",
+                seed=self.paras.seed)
+        self.verbose(msg)
+
+    def set_model(self):
+        audio_cfg = dict(self.config["data"].get("audio", {}))
+        self.feat_cfg = FeatureConfig(**audio_cfg)
+        self.spec = M.build_spec(self.feat_dim, self.vocab_size,
+                                 **self.config["model"])
+        self.params = M.asr_init(jax.random.PRNGKey(0), self.spec)
+        self.opt_state = None
+        self.load_ckpt()
+
+        self.lm_params, self.lm_spec = None, None
+        if self.lm_weight > 0:
+            lm_cfg = load_config(self.lm_config)
+            self.lm_spec = LM.build_spec(self.vocab_size, **lm_cfg["model"])
+            self.lm_params = LM.lm_init(jax.random.PRNGKey(1), self.lm_spec)
+            ck = ckpt_lib.load_checkpoint(self.lm_path, self.lm_params)
+            self.lm_params = ck["model"]
+            self.verbose("LM loaded from {} (ppx {:.2f})".format(
+                self.lm_path, ck.get("metric_value", float("nan"))))
+
+        msg = ["Decode spec| Beam size = {}\t| Min/Max len ratio = {}/{}"
+               .format(self.beam_size, self.min_len_ratio, self.max_len_ratio)]
+        if self.dec_ctc_weight > 0:
+            msg.append("           |Joint CTC decoding enabled \t| weight = "
+                       "{:.2f}".format(self.dec_ctc_weight))
+        if self.lm_weight > 0:
+            msg.append("           |Joint LM decoding enabled \t| weight = "
+                       "{:.2f}\t| src = {}".format(self.lm_weight, self.lm_path))
+        self.verbose(msg)
+
+    def _max_steps_for(self, n_samples: int) -> int:
+        frames = self.feat_cfg.frames_for_samples(n_samples)
+        enc_frames = frames // self.spec.encoder.total_sample_rate
+        return max(1, int(math.ceil(enc_frames * self.max_len_ratio)))
+
+    def exec(self):
+        for s, ds in zip(["dev", "test"], [self.dv_set, self.tt_set]):
+            out_path = self.output_file.format(s, "output")
+            beam_path = self.output_file.format(s, "beam")
+            with open(out_path, "w") as f:
+                f.write("idx\thyp\ttruth\n")
+            if self.greedy:
+                self.verbose("Performing batch-wise greedy decoding on {} "
+                             "set, num of batch = {}.".format(s, len(ds)))
+            else:
+                with open(beam_path, "w") as f:
+                    f.write("idx\tbeam\thyp\ttruth\n")
+                self.verbose("Performing batched on-device beam decoding on "
+                             "{} set, num of batch = {}.".format(s, len(ds)))
+            for i, data in enumerate(ds):
+                self.progress("Decode step - {}/{}".format(i + 1, len(ds)))
+                self._decode_batch(data, out_path,
+                                   None if self.greedy else beam_path)
+            self.verbose("Results stored at {}".format(out_path))
+        self.verbose("All done !")
+
+    def _decode_batch(self, data, out_path: str, beam_path: Optional[str]):
+        wav = jnp.asarray(data["wav"])
+        wav_len = jnp.asarray(data["wav_len"])
+        feat, feat_len = extract_features(self.feat_cfg, wav, wav_len)
+        names = [os.path.basename(str(n)).rsplit(".", 1)[0]
+                 for n in data["name"]]
+        truths = [self.tokenizer.decode(t.tolist()) for t in data["txt"]]
+
+        if self.greedy:
+            decode_step = int(np.ceil(data["txt"].shape[1] * self.DEV_STEP_RATIO))
+            out = greedy_decode(self.params, self.spec, feat, feat_len,
+                                decode_step, compute_dtype=self.compute_dtype)
+            toks = np.asarray(out["att_tokens"] if "att_tokens" in out
+                              else out["ctc_tokens"])
+            ctc_mode = "att_tokens" not in out
+            with open(out_path, "a") as f:
+                for name, hyp_ids, truth in zip(names, toks, truths):
+                    hyp = self.tokenizer.decode(hyp_ids.tolist(),
+                                                ignore_repeat=ctc_mode)
+                    f.write("\t".join([name, hyp, truth]) + "\n")
+            return
+
+        cfg = BeamConfig(
+            beam_size=self.beam_size, min_len_ratio=self.min_len_ratio,
+            max_len_ratio=self.max_len_ratio, ctc_weight=self.dec_ctc_weight,
+            lm_weight=self.lm_weight,
+            max_steps=self._max_steps_for(int(wav.shape[1])))
+        out = beam_decode(self.params, self.spec, cfg, feat, feat_len,
+                          self.lm_params, self.lm_spec,
+                          compute_dtype=self.compute_dtype)
+        tokens = np.asarray(out["tokens"])      # B,K,L
+        with open(out_path, "a") as f, open(beam_path, "a") as fb:
+            for bi, (name, truth) in enumerate(zip(names, truths)):
+                hyps = [self.tokenizer.decode(tokens[bi, ki].tolist())
+                        for ki in range(tokens.shape[1])]
+                f.write("\t".join([name, hyps[0], truth]) + "\n")
+                for ki, hyp in enumerate(hyps):
+                    fb.write("\t".join([name, str(ki), hyp, truth]) + "\n")

@@ -1,0 +1,349 @@
+"""ASR training solver.
+
+Capability parity with the reference's training loop (reference:
+bin/train_asr.py:17-394): joint CTC + attention objective with label
+smoothing, scheduled sampling, per-dev-set best-checkpoint tracking for both
+att and ctc heads, curriculum relaunch, 'self_defined' LR decay, CTC
+early-stop, upstream feature hook, and rd/fw/bw step timing.
+
+TPU-native structure: ONE jitted program per batch shape bucket does
+feature extraction + SpecAugment + forward + losses + grad + optimizer
+update (donated buffers, bf16 matmuls) — the host only feeds waveforms and
+reads back scalar metrics (and, on logging steps, the decode outputs).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from e2e_asr_pytorch_tpu.data.loaders import load_dataset
+from e2e_asr_pytorch_tpu.models import asr as M
+from e2e_asr_pytorch_tpu.ops import ctc as ctc_ops
+from e2e_asr_pytorch_tpu.ops import losses as L
+from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+from e2e_asr_pytorch_tpu.ops.specaugment import spec_augment
+from e2e_asr_pytorch_tpu.train import optim as O
+from e2e_asr_pytorch_tpu.train.solver import BaseSolver
+from e2e_asr_pytorch_tpu.utils.logger import feat_to_fig
+from e2e_asr_pytorch_tpu.utils.metrics import cal_er
+from e2e_asr_pytorch_tpu.utils.timer import human_format
+
+
+class Solver(BaseSolver):
+    def __init__(self, config, paras, mode):
+        super().__init__(config, paras, mode)
+        self.curriculum = self.config["hparas"].get("curriculum", 0)
+        self.val_mode = self.config["hparas"].get("val_mode", "wer").lower()
+        self.WER = "per" if self.val_mode == "per" else "wer"
+        self.emb_decoder = None
+
+    # ------------------------------------------------------------- data
+    def load_data(self):
+        self.upstream = None
+        if self.paras.upstream is not None:
+            from e2e_asr_pytorch_tpu.data.upstream import get_upstream
+            self.upstream, self.feat_dim = get_upstream(self.paras.upstream)
+            self.verbose("Using upstream feature source `{}` (dim {})".format(
+                self.paras.upstream, self.feat_dim))
+        self.tr_set, self.dv_set, feat_dim, self.vocab_size, self.tokenizer, msg = \
+            load_dataset(self.paras.njobs, self.paras.gpu,
+                         self.paras.pin_memory, self.curriculum > 0,
+                         **self.config["data"], seed=self.paras.seed)
+        if self.upstream is None:
+            self.feat_dim = feat_dim
+        self.verbose(msg)
+
+        dev_split = self.config["data"]["corpus"].get("dev_split", ["dev"])
+        if isinstance(self.dv_set, list):
+            self.dv_names = [ds[0] for ds in dev_split]
+        else:
+            self.dv_names = dev_split[0] if isinstance(dev_split[0], str) \
+                else "dev"
+        names = [self.dv_names] if isinstance(self.dv_names, str) else self.dv_names
+        self.best_wer = {"att": {n: 3.0 for n in names},
+                         "ctc": {n: 3.0 for n in names}}
+
+    # ------------------------------------------------------------ model
+    def set_model(self):
+        hp = self.config["hparas"]
+        audio_cfg = dict(self.config["data"].get("audio", {}))
+        self.feat_cfg = FeatureConfig(**audio_cfg)
+        self.augment = bool(audio_cfg.get("augment", False))
+
+        self.spec = M.build_spec(self.feat_dim, self.vocab_size,
+                                 **self.config["model"])
+        key = jax.random.PRNGKey(self.paras.seed)
+        self.params = M.asr_init(key, self.spec)
+        self.verbose(self._model_msg())
+
+        self.label_smoothing = bool(hp.get("label_smoothing", False))
+        self.tx, self.lr_sched = O.build_optimizer(grad_clip=self.GRAD_CLIP, **hp)
+        self.tf_rate = O.tf_rate_fn(hp.get("tf_start", 1.0),
+                                    hp.get("tf_end", 1.0),
+                                    hp.get("tf_step", 1),
+                                    hp.get("tf_step_start", 0))
+        self.opt_state = self.tx.init(self.params)
+        self.verbose(O.create_msg(**hp))
+
+        # embedding-regularizer plugin (reference bin/train_asr.py:137-147)
+        self.emb_reg = ("emb" in self.config) and self.config["emb"]["enable"]
+        if self.emb_reg:
+            from e2e_asr_pytorch_tpu.models import plugin as P
+            self.emb_decoder = P.build(self.config["emb"], self.tokenizer,
+                                       self.spec.decoder.dim,
+                                       jax.random.fold_in(key, 99))
+            self.params["emb_plugin"] = self.emb_decoder.params
+
+        if self.transfer_learning:
+            self.verbose("Apply transfer learning: ")
+            self.verbose("      Train encoder layers: {}".format(self.train_enc))
+            self.verbose("      Train decoder:        {}".format(self.train_dec))
+
+        if self.paras.load:
+            self.load_ckpt()
+
+        self._train_step = self._build_train_step()
+        self._valid_step = self._build_valid_step()
+
+    def _model_msg(self):
+        msg = ["Model spec.| Encoder's downsampling rate of time axis is {}."
+               .format(self.spec.encoder.total_sample_rate)]
+        if self.spec.encoder.frontend is not None:
+            msg.append("           | Frontend vgg code = {} (time/{})".format(
+                self.spec.encoder.frontend.vgg,
+                self.spec.encoder.frontend.sample_rate))
+        if self.spec.enable_ctc:
+            msg.append("           | CTC training on encoder enabled "
+                       "( lambda = {}).".format(self.spec.ctc_weight))
+        if self.spec.enable_att:
+            msg.append("           | {} attention decoder enabled "
+                       "( lambda = {}).".format(self.spec.attention.mode,
+                                                1 - self.spec.ctc_weight))
+        return msg
+
+    # ------------------------------------------------------- jitted steps
+    def _features(self, wav, wav_len, rng, train):
+        if self.upstream is not None:
+            feat, feat_len = self.upstream(wav, wav_len)
+        else:
+            feat, feat_len = extract_features(self.feat_cfg, wav, wav_len)
+        if train and self.augment:
+            feat = spec_augment(feat, feat_len, rng)
+        return feat, feat_len
+
+    def _losses(self, params, feat, feat_len, txt, txt_len, tf_rate, rng,
+                use_ctc, train):
+        decode_step = txt.shape[1]
+        ctc_out, enc_len, att_out, att_align, dec_state = M.asr_apply(
+            params, self.spec, feat, feat_len, decode_step, tf_rate,
+            teacher=txt, rng=rng, train=train, get_dec_state=self.emb_reg,
+            compute_dtype=self.compute_dtype)
+        total, ctc_loss_v, att_loss_v, emb_loss_v = 0.0, None, None, None
+        if self.emb_reg:
+            emb_loss_v, fuse_out = self.emb_decoder.loss(
+                params["emb_plugin"], dec_state, att_out, txt)
+            total += self.emb_decoder.weight * emb_loss_v
+            if self.emb_decoder.apply_fuse:
+                att_out = fuse_out
+        if ctc_out is not None and use_ctc:
+            ctc_loss_v = ctc_ops.ctc_loss(ctc_out, enc_len, txt, txt_len)
+            total += ctc_loss_v * self.spec.ctc_weight
+        if att_out is not None:
+            if self.emb_reg and self.emb_decoder.apply_fuse:
+                att_loss_v = L.nll_loss(att_out, txt)
+            elif self.label_smoothing:
+                att_loss_v = L.label_smoothing_loss(att_out, txt,
+                                                    self.vocab_size, 0.1)
+            else:
+                att_loss_v = L.cross_entropy_loss(att_out, txt)
+            total += att_loss_v * (1 - self.spec.ctc_weight)
+        return total, (ctc_loss_v, att_loss_v, emb_loss_v, ctc_out, att_out)
+
+    def _build_train_step(self):
+        @functools.partial(jax.jit, static_argnames=("use_ctc",),
+                           donate_argnums=(0, 1))
+        def step_fn(params, opt_state, wav, wav_len, txt, txt_len, rng,
+                    tf_rate, use_ctc=True):
+            r_aug, r_fwd = jax.random.split(rng)
+            feat, feat_len = self._features(wav, wav_len, r_aug, True)
+
+            def loss_fn(p):
+                return self._losses(p, feat, feat_len, txt, txt_len, tf_rate,
+                                    r_fwd, use_ctc, True)
+
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            gnorm = O.global_norm(grads)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ctc_l, att_l, emb_l, ctc_out, att_out = aux
+            metrics = {"total": total, "gnorm": gnorm,
+                       "ctc": ctc_l if ctc_l is not None else jnp.nan,
+                       "att": att_l if att_l is not None else jnp.nan,
+                       "emb": emb_l if emb_l is not None else jnp.nan}
+            return params, opt_state, metrics, ctc_out, att_out
+        return step_fn
+
+    def _build_valid_step(self):
+        @functools.partial(jax.jit, static_argnames=("decode_step",))
+        def step_fn(params, wav, wav_len, txt, txt_len, decode_step):
+            feat, feat_len = self._features(wav, wav_len, None, False)
+            ctc_out, enc_len, att_out, att_align, _ = M.asr_apply(
+                params, self.spec, feat, feat_len, decode_step,
+                teacher=None, train=False, compute_dtype=self.compute_dtype)
+            return ctc_out, att_out, att_align
+        return step_fn
+
+    # -------------------------------------------------------------- exec
+    def exec(self):
+        self.verbose("Total training steps {}.".format(
+            human_format(self.max_step)))
+        self.n_epochs = 0
+        self.timer.set()
+
+        early_stopping = self.config["hparas"].get("early_stopping", False)
+        stop_step = len(self.tr_set) * 10  # ~10 epochs of updates
+        use_ctc = self.spec.enable_ctc
+
+        base_rng = jax.random.PRNGKey(self.paras.seed + 1)
+        fix_layers = tuple(self.fix_enc) if self.transfer_learning else ()
+
+        while self.step < self.max_step:
+            if self.curriculum > 0 and self.n_epochs == self.curriculum:
+                self.verbose("Curriculum learning ends after {} epochs, "
+                             "starting random sampling.".format(self.n_epochs))
+                self.tr_set, _, _, _, _, _ = load_dataset(
+                    self.paras.njobs, self.paras.gpu, self.paras.pin_memory,
+                    False, **self.config["data"], seed=self.paras.seed)
+                self.curriculum = 0
+
+            for data in self.tr_set:
+                tf_rate = self.tf_rate(self.step)
+                if early_stopping and self.step > stop_step:
+                    use_ctc = False
+                rng = jax.random.fold_in(base_rng, self.step)
+                self.timer.cnt("rd")
+
+                self.params, self.opt_state, metrics, ctc_out, att_out = \
+                    self._train_step(self.params, self.opt_state,
+                                     jnp.asarray(data["wav"]),
+                                     jnp.asarray(data["wav_len"]),
+                                     jnp.asarray(data["txt"]),
+                                     jnp.asarray(data["txt_len"]),
+                                     rng, tf_rate, use_ctc=use_ctc)
+                total = metrics["total"]
+                self.step += 1
+                self.timer.cnt("fw")
+
+                if self.step == 1 or self.step % self.PROGRESS_STEP == 0:
+                    total_v = float(total)
+                    gnorm_v = float(metrics["gnorm"])
+                    self.progress("Tr stat | Loss - {:.2f} | Grad. Norm - {:.2f} | {}"
+                                  .format(total_v, gnorm_v, self.timer.show()))
+                    txt_np = data["txt"]
+                    self.write_log("emb_loss", {"tr": _opt(metrics["emb"])})
+                    if att_out is not None:
+                        att_np = np.asarray(att_out)
+                        self.write_log("loss", {"tr_att": _opt(metrics["att"])})
+                        self.write_log(self.WER, {"tr_att": cal_er(
+                            self.tokenizer, att_np, txt_np, mode=self.WER)})
+                        self.write_log("cer", {"tr_att": cal_er(
+                            self.tokenizer, att_np, txt_np, mode="cer")})
+                    if ctc_out is not None and use_ctc:
+                        ctc_np = np.asarray(ctc_out)
+                        self.write_log("loss", {"tr_ctc": _opt(metrics["ctc"])})
+                        self.write_log(self.WER, {"tr_ctc": cal_er(
+                            self.tokenizer, ctc_np, txt_np, mode=self.WER, ctc=True)})
+                        self.write_log("cer", {"tr_ctc": cal_er(
+                            self.tokenizer, ctc_np, txt_np, mode="cer", ctc=True)})
+                        self.write_log("ctc_text_train", self.tokenizer.decode(
+                            ctc_np[0].argmax(-1).tolist(), ignore_repeat=True))
+                    self.write_log("lr", {"tr": float(self.lr_sched(self.step))})
+
+                if self.step == 1 or self.step % self.valid_step == 0:
+                    if isinstance(self.dv_set, list):
+                        for dv_id in range(len(self.dv_set)):
+                            self.validate(self.dv_set[dv_id],
+                                          self.dv_names[dv_id])
+                    else:
+                        self.validate(self.dv_set, self.dv_names)
+
+                self.timer.set()
+                if self.step > self.max_step:
+                    break
+            self.n_epochs += 1
+
+        self.log.close()
+        self.verbose("Finished training after {} steps.".format(
+            human_format(self.max_step)))
+
+    # -------------------------------------------------------- validation
+    def validate(self, dv_set, name):
+        dev_wer = {"att": [], "ctc": []}
+        dev_cer = {"att": [], "ctc": []}
+        dev_er = {"att": [], "ctc": []}
+        n_batches = len(dv_set)
+
+        for i, data in enumerate(dv_set):
+            self.progress("Valid step - {}/{}".format(i + 1, n_batches))
+            decode_step = int(np.ceil(data["txt"].shape[1] * self.DEV_STEP_RATIO))
+            ctc_out, att_out, att_align = self._valid_step(
+                self.params, jnp.asarray(data["wav"]),
+                jnp.asarray(data["wav_len"]), jnp.asarray(data["txt"]),
+                jnp.asarray(data["txt_len"]), decode_step)
+            txt_np = data["txt"]
+            if att_out is not None:
+                att_np = np.asarray(att_out)
+                dev_wer["att"].append(cal_er(self.tokenizer, att_np, txt_np, mode="wer"))
+                dev_cer["att"].append(cal_er(self.tokenizer, att_np, txt_np, mode="cer"))
+                dev_er["att"].append(cal_er(self.tokenizer, att_np, txt_np, mode=self.val_mode))
+            if ctc_out is not None:
+                ctc_np = np.asarray(ctc_out)
+                dev_wer["ctc"].append(cal_er(self.tokenizer, ctc_np, txt_np, mode="wer", ctc=True))
+                dev_cer["ctc"].append(cal_er(self.tokenizer, ctc_np, txt_np, mode="cer", ctc=True))
+                dev_er["ctc"].append(cal_er(self.tokenizer, ctc_np, txt_np, mode=self.val_mode, ctc=True))
+
+            if i == n_batches // 2:
+                for j in range(min(len(txt_np), self.DEV_N_EXAMPLE)):
+                    if self.step == 1:
+                        self.write_log("true_text_{}_{}".format(name, j),
+                                       self.tokenizer.decode(txt_np[j].tolist()))
+                    if att_out is not None:
+                        self.write_log("att_align_{}_{}".format(name, j),
+                                       feat_to_fig(np.asarray(att_align)[j, 0]))
+                        self.write_log("att_text_{}_{}".format(name, j),
+                                       self.tokenizer.decode(
+                                           np.asarray(att_out)[j].argmax(-1).tolist()))
+                    if ctc_out is not None:
+                        self.write_log("ctc_text_{}_{}".format(name, j),
+                                       self.tokenizer.decode(
+                                           np.asarray(ctc_out)[j].argmax(-1).tolist(),
+                                           ignore_repeat=True))
+
+        tasks = [t for t in ("att", "ctc") if len(dev_er[t]) > 0]
+        for task in tasks:
+            er = sum(dev_er[task]) / len(dev_er[task])
+            wer = sum(dev_wer[task]) / len(dev_wer[task])
+            cer = sum(dev_cer[task]) / len(dev_cer[task])
+            suffix = self.save_name if self.transfer_learning else ""
+            if er < self.best_wer[task][name]:
+                self.best_wer[task][name] = er
+                self.save_checkpoint("best_{}_{}.pth".format(task, name + suffix),
+                                     self.val_mode, er)
+            if self.step >= self.max_step:
+                self.save_checkpoint("last_{}_{}.pth".format(task, name + suffix),
+                                     self.val_mode, er)
+            self.write_log(self.WER, {"dv_" + task + "_" + name.lower(): wer})
+            self.write_log("cer", {"dv_" + task + "_" + name.lower(): cer})
+
+
+def _opt(x):
+    """Optional scalar metric -> float or None (nan used as sentinel)."""
+    v = float(x)
+    return None if math.isnan(v) else v

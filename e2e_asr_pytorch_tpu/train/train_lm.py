@@ -1,0 +1,147 @@
+"""RNNLM training solver.
+
+Capability parity with the reference LM loop (reference:
+bin/train_lm.py:10-123): <sos>(=<pad> id 0)-prepended text, masked CE on the
+shifted targets, perplexity logging, and best-ppx checkpointing. One jitted
+program per text shape bucket does forward+loss+grad+update.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from e2e_asr_pytorch_tpu.data.loaders import load_textset
+from e2e_asr_pytorch_tpu.models import lm as LM
+from e2e_asr_pytorch_tpu.ops import losses as L
+from e2e_asr_pytorch_tpu.train import optim as O
+from e2e_asr_pytorch_tpu.train.solver import BaseSolver
+from e2e_asr_pytorch_tpu.utils.timer import human_format
+
+
+class Solver(BaseSolver):
+    def __init__(self, config, paras, mode):
+        super().__init__(config, paras, mode)
+        self.best_ppx = math.inf
+        # the reference tracks best dev loss starting at 10 (bin/train_lm.py:15)
+        self.best_loss = 10.0
+
+    def load_data(self):
+        self.tr_set, self.dv_set, self.vocab_size, self.tokenizer, msg = \
+            load_textset(self.paras.njobs, self.paras.gpu,
+                         self.paras.pin_memory, self.config["data"]["corpus"],
+                         self.config["data"]["text"], seed=self.paras.seed)
+        self.verbose(msg)
+
+    def set_model(self):
+        hp = self.config["hparas"]
+        self.lm_spec = LM.build_spec(self.vocab_size, **self.config["model"])
+        key = jax.random.PRNGKey(self.paras.seed)
+        self.params = LM.lm_init(key, self.lm_spec)
+        self.verbose("Model spec.| RNNLM weight tying = {}, # of layers = {}, "
+                     "dim = {}".format(self.lm_spec.emb_tying,
+                                       self.lm_spec.n_layers, self.lm_spec.dim))
+        self.tx, self.lr_sched = O.build_optimizer(grad_clip=self.GRAD_CLIP, **hp)
+        self.opt_state = self.tx.init(self.params)
+        self.verbose(O.create_msg(**hp))
+        if self.paras.load:
+            self.load_ckpt()
+        self._train_step = self._build_train_step()
+        self._valid_step = self._build_valid_step()
+
+    @staticmethod
+    def _shift_inputs(txt):
+        """Prepend <sos> (id 0) and predict the sequence: inputs txt[:, :-1]
+        with 0 up front, targets txt (reference bin/train_lm.py:17-21,64-68)."""
+        inp = jnp.pad(txt, ((0, 0), (1, 0)))[:, :-1]
+        return inp, txt
+
+    def _build_train_step(self):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step_fn(params, opt_state, txt, rng):
+            inp, tgt = self._shift_inputs(txt)
+
+            def loss_fn(p):
+                logits, _ = LM.lm_apply(p, self.lm_spec, inp, rng=rng,
+                                        train=True,
+                                        compute_dtype=self.compute_dtype)
+                return L.cross_entropy_loss(logits, tgt)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            gnorm = O.global_norm(grads)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, gnorm
+        return step_fn
+
+    def _build_valid_step(self):
+        @jax.jit
+        def step_fn(params, txt):
+            inp, tgt = self._shift_inputs(txt)
+            logits, _ = LM.lm_apply(params, self.lm_spec, inp, train=False,
+                                    compute_dtype=self.compute_dtype)
+            # per-token NLL sum + count (for exact corpus perplexity)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(lp, tgt[:, :, None], axis=2)[:, :, 0]
+            mask = (tgt != 0).astype(jnp.float32)
+            return jnp.sum(nll * mask), jnp.sum(mask)
+        return step_fn
+
+    def exec(self):
+        self.verbose("Total training steps {}.".format(
+            human_format(self.max_step)))
+        self.timer.set()
+        base_rng = jax.random.PRNGKey(self.paras.seed + 1)
+
+        while self.step < self.max_step:
+            for data in self.tr_set:
+                self.timer.cnt("rd")
+                rng = jax.random.fold_in(base_rng, self.step)
+                self.params, self.opt_state, loss, gnorm = self._train_step(
+                    self.params, self.opt_state, jnp.asarray(data["txt"]), rng)
+                self.step += 1
+                self.timer.cnt("fw")
+
+                if self.step == 1 or self.step % self.PROGRESS_STEP == 0:
+                    loss_v = float(loss)
+                    ppx = math.exp(min(loss_v, 50))
+                    self.progress("Tr stat | Loss - {:.2f} | Grad. Norm - {:.2f} | {}"
+                                  .format(loss_v, float(gnorm), self.timer.show()))
+                    self.write_log("entropy", {"tr": loss_v})
+                    self.write_log("perplexity", {"tr": ppx})
+
+                if self.step % self.valid_step == 0:
+                    self.validate()
+                self.timer.set()
+                if self.step > self.max_step:
+                    break
+
+        self.log.close()
+        self.verbose("Finished training after {} steps.".format(
+            human_format(self.max_step)))
+
+    def validate(self):
+        total_nll, total_tok = 0.0, 0.0
+        n_batches = len(self.dv_set)
+        for i, data in enumerate(self.dv_set):
+            self.progress("Valid step - {}/{}".format(i + 1, n_batches))
+            nll, cnt = self._valid_step(self.params, jnp.asarray(data["txt"]))
+            total_nll += float(nll)
+            total_tok += float(cnt)
+        dev_loss = total_nll / max(total_tok, 1.0)
+        dev_ppx = math.exp(min(dev_loss, 50))
+        self.verbose("Valid | dev loss {:.4f} | dev ppx {:.4f}".format(
+            dev_loss, dev_ppx))
+        self.write_log("entropy", {"dv": dev_loss})
+        self.write_log("perplexity", {"dv": dev_ppx})
+        if dev_loss < self.best_loss:
+            self.best_loss = dev_loss
+            self.best_ppx = dev_ppx
+            self.save_checkpoint("best_ppx.pth", "ppx", dev_ppx)
+        if self.step >= self.max_step:
+            self.save_checkpoint("last_ppx.pth", "ppx", dev_ppx)

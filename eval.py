@@ -1,0 +1,40 @@
+"""Offline WER/CER scoring of decode output CSVs.
+
+Capability parity with the reference's eval.py: reads the idx/hyp/truth TSV
+written by the test solver and prints corpus-level error rates plus length
+stats. Usage: python eval.py --file result/<exp>_<split>_output.csv
+"""
+
+import argparse
+
+import pandas as pd
+
+from e2e_asr_pytorch_tpu.utils.metrics import cer_strings, wer_strings
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--file", type=str, required=True,
+                    help="decode output csv (idx\\thyp\\ttruth)")
+    args = ap.parse_args(argv)
+
+    df = pd.read_csv(args.file, sep="\t", keep_default_na=False)
+    wers, cers, hyp_lens, truth_lens = [], [], [], []
+    for _, row in df.iterrows():
+        hyp, truth = str(row["hyp"]), str(row["truth"])
+        wers.append(wer_strings(hyp, truth))
+        cers.append(cer_strings(hyp, truth))
+        hyp_lens.append(len(hyp.split()))
+        truth_lens.append(len(truth.split()))
+
+    n = max(len(wers), 1)
+    print("Evaluating {} ({} utterances)".format(args.file, len(wers)))
+    print("WER: {:.4f}".format(sum(wers) / n))
+    print("CER: {:.4f}".format(sum(cers) / n))
+    print("Avg hyp/truth length (words): {:.1f} / {:.1f}".format(
+        sum(hyp_lens) / n, sum(truth_lens) / n))
+    return sum(wers) / n, sum(cers) / n
+
+
+if __name__ == "__main__":
+    main()

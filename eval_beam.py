@@ -1,0 +1,37 @@
+"""Offline ORACLE WER/CER over all beams of a decode run.
+
+Capability parity with the reference's eval_beam.py: reads the
+idx/beam/hyp/truth TSV and scores, per utterance, the MINIMUM error across
+beams (an upper bound on rescoring gains).
+Usage: python eval_beam.py --file result/<exp>_<split>_beam.csv
+"""
+
+import argparse
+
+import pandas as pd
+
+from e2e_asr_pytorch_tpu.utils.metrics import cer_strings, wer_strings
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--file", type=str, required=True,
+                    help="beam csv (idx\\tbeam\\thyp\\ttruth)")
+    args = ap.parse_args(argv)
+
+    df = pd.read_csv(args.file, sep="\t", keep_default_na=False)
+    wers, cers = [], []
+    for idx, group in df.groupby("idx", sort=False):
+        truth = str(group.iloc[0]["truth"])
+        wers.append(min(wer_strings(str(h), truth) for h in group["hyp"]))
+        cers.append(min(cer_strings(str(h), truth) for h in group["hyp"]))
+
+    n = max(len(wers), 1)
+    print("Oracle evaluation of {} ({} utterances)".format(args.file, len(wers)))
+    print("Oracle WER: {:.4f}".format(sum(wers) / n))
+    print("Oracle CER: {:.4f}".format(sum(cers) / n))
+    return sum(wers) / n, sum(cers) / n
+
+
+if __name__ == "__main__":
+    main()

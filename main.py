@@ -1,0 +1,55 @@
+"""Unified CLI entry: train ASR / train LM / test ASR.
+
+Same surface as the reference's main.py (reference: main.py:12-106):
+``python main.py --config X.yaml [--test] [--lm] [--seed N] ...`` parses
+flags + YAML, seeds RNGs, dispatches exactly one Solver class and runs the
+3-phase lifecycle load_data() -> set_model() -> exec(). GPU-specific flags
+(--reserve_gpu, --cudnn-ctc, --amp) are accepted for script compatibility;
+determinism on TPU comes from explicit PRNG keys, so --deterministic only
+pins the host seeds.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from e2e_asr_pytorch_tpu.utils.config import (load_config, parse_paras,
+                                              set_seed)
+
+
+def main(argv=None):
+    paras = parse_paras(argv)
+    config = load_config(paras.config)
+    set_seed(paras.seed)
+    if paras.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    if paras.lm:
+        from e2e_asr_pytorch_tpu.train.train_lm import Solver
+        mode = "train"
+    elif paras.test:
+        from e2e_asr_pytorch_tpu.train.test_asr import Solver
+        mode = "test"
+        # test configs point at the training config via src: (reference
+        # src/solver.py:83-84)
+        if "src" in config:
+            train_cfg = load_config(config["src"]["config"])
+            train_cfg["data"].update(config.get("data", {}))
+            for k in ("src", "decode"):
+                if k in config:
+                    train_cfg[k] = config[k]
+            config = train_cfg
+    else:
+        from e2e_asr_pytorch_tpu.train.train_asr import Solver
+        mode = "train"
+
+    solver = Solver(config, paras, mode)
+    solver.load_data()
+    solver.set_model()
+    solver.exec()
+    return solver
+
+
+if __name__ == "__main__":
+    main()

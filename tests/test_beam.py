@@ -1,0 +1,94 @@
+"""Structural tests for the batched on-device beam search."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_pytorch_tpu.decode.beam import BeamConfig, beam_decode
+from e2e_asr_pytorch_tpu.decode.greedy import greedy_decode
+from e2e_asr_pytorch_tpu.models import asr as M
+from e2e_asr_pytorch_tpu.models import lm as LM
+
+MODEL_CFG = dict(
+    ctc_weight=0.5,
+    encoder=dict(vgg=6, vgg_freq=-1, vgg_low_filt=-1, module="LSTM",
+                 bidirection=True, dim=[16], dropout=[0.0], layer_norm=[False],
+                 proj=[False], sample_rate=[1], sample_style="drop"),
+    attention=dict(mode="loc", dim=8, num_head=1, v_proj=False,
+                   temperature=0.5, loc_kernel_size=5, loc_kernel_num=3),
+    decoder=dict(module="LSTM", dim=16, layer=1, dropout=0.0))
+
+VOCAB = 9
+
+
+@pytest.fixture(scope="module")
+def model():
+    spec = M.build_spec(12, VOCAB, **MODEL_CFG)
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+    return spec, params
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.standard_normal((2, 40, 12)).astype(np.float32))
+    feat_len = jnp.asarray([40, 24])
+    return feat, feat_len
+
+
+def test_beam_shapes_and_ordering(model, batch):
+    spec, params = model
+    feat, feat_len = batch
+    cfg = BeamConfig(beam_size=4, min_len_ratio=0.0, max_len_ratio=1.0,
+                     ctc_weight=0.3, max_steps=12)
+    out = beam_decode(params, spec, cfg, feat, feat_len)
+    toks = np.asarray(out["tokens"])
+    scores = np.asarray(out["avg_scores"])
+    assert toks.shape == (2, 4, 12)
+    assert (toks >= 0).all() and (toks < VOCAB).all()
+    # scores sorted descending per utterance
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    # top hypothesis is a real (finite-score) one
+    assert np.isfinite(scores[:, 0]).all() and (scores[:, 0] > -1e20).all()
+
+
+def test_beam_with_lm_fusion(model, batch):
+    spec, params = model
+    feat, feat_len = batch
+    lm_spec = LM.build_spec(VOCAB, emb_tying=True, emb_dim=16, module="LSTM",
+                            dim=16, n_layers=1, dropout=0.0)
+    lm_params = LM.lm_init(jax.random.PRNGKey(3), lm_spec)
+    cfg = BeamConfig(beam_size=2, min_len_ratio=0.0, max_len_ratio=0.8,
+                     ctc_weight=0.0, lm_weight=0.3, max_steps=10)
+    out = beam_decode(params, spec, cfg, feat, feat_len, lm_params, lm_spec)
+    assert np.asarray(out["tokens"]).shape == (2, 2, 10)
+    assert np.isfinite(np.asarray(out["avg_scores"])[:, 0]).all()
+
+
+def test_beam_max_len_ratio_caps_length(model, batch):
+    spec, params = model
+    feat, feat_len = batch
+    # ratio 0.25 on enc_len [40,24] -> caps 10 and 6 decode steps
+    cfg = BeamConfig(beam_size=2, min_len_ratio=0.0, max_len_ratio=0.25,
+                     ctc_weight=0.0, max_steps=12)
+    out = beam_decode(params, spec, cfg, feat, feat_len)
+    out_len = np.asarray(out["out_len"])
+    assert (out_len[0] <= 10 + 1).all()
+    assert (out_len[1] <= 6 + 1).all()
+    # tokens past out_len of capped hyps are the zero padding
+    toks = np.asarray(out["tokens"])
+    assert (toks[1, 0, out_len[1, 0]:] == 0).all()
+
+
+def test_greedy_decode_outputs(model, batch):
+    spec, params = model
+    feat, feat_len = batch
+    out = greedy_decode(params, spec, feat, feat_len, 8)
+    assert np.asarray(out["att_tokens"]).shape == (2, 8)
+    ctc = np.asarray(out["ctc_tokens"])
+    assert ctc.shape[0] == 2
+    # collapsed: no adjacent repeats among non-blank prefix
+    row = ctc[0]
+    nz = row[row != 0]
+    assert all(nz[i] != nz[i + 1] for i in range(len(nz) - 1)) or len(nz) < 2

@@ -1,0 +1,127 @@
+"""CTC prefix scorer: batched jit version vs an independent numpy oracle.
+
+The oracle implements Watanabe et al. (2017) Algorithm 2 directly from the
+paper's recursion (log domain), restricted to a candidate set.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_pytorch_tpu.ops import ctc_prefix as CP
+
+LZ = CP.LOG_ZERO
+
+
+def oracle_init(x):
+    """x: (T,V) log posteriors. r for empty prefix (T,2)."""
+    t = x.shape[0]
+    r = np.full((t, 2), LZ, np.float64)
+    r[0, 1] = x[0, 0]
+    for i in range(1, t):
+        r[i, 1] = r[i - 1, 1] + x[i, 0]
+    return r
+
+
+def oracle_score(x, g, r_prev, cands):
+    """Score candidate extensions of prefix g. Returns (psi (C,), r (C,T,2))."""
+    t_max = x.shape[0]
+    n = len(cands)
+    plen = len(g)
+    last = g[-1] if plen > 0 else 0
+    r = np.full((t_max, 2, n), LZ, np.float64)
+    start = max(1, plen)
+    if plen == 0:
+        r[0, 0, :] = x[0, cands]
+    psi = r[start - 1, 0, :].copy()
+    sum_prev = np.logaddexp(r_prev[:, 0], r_prev[:, 1])
+    phi = np.repeat(sum_prev[:, None], n, axis=1)
+    for i, c in enumerate(cands):
+        if plen > 0 and c == last:
+            phi[:, i] = r_prev[:, 1]
+    for t in range(start, t_max):
+        r[t, 0, :] = np.logaddexp(r[t - 1, 0, :], phi[t - 1]) + x[t, cands]
+        r[t, 1, :] = np.logaddexp(r[t - 1, 1, :], r[t - 1, 0, :]) + x[t, 0]
+        psi = np.logaddexp(psi, phi[t - 1] + x[t, cands])
+    for i, c in enumerate(cands):
+        if c == 1:  # eos
+            psi[i] = sum_prev[-1]
+    return psi, np.transpose(r, (2, 0, 1))
+
+
+def _rand_logp(rng, t, v):
+    x = rng.standard_normal((t, v))
+    x = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    return x
+
+
+def test_prefix_empty_prefix():
+    rng = np.random.default_rng(0)
+    t, v = 12, 8
+    x = _rand_logp(rng, t, v)
+    cands = [2, 3, 1, 5]
+    r_prev = oracle_init(x)
+    psi_o, r_o = oracle_score(x, [], r_prev, cands)
+
+    logp = jnp.asarray(x[None], jnp.float32)
+    enc_len = jnp.asarray([t])
+    r0 = CP.init_state(logp, enc_len)
+    np.testing.assert_allclose(np.asarray(r0[0], np.float64)[:, 1],
+                               r_prev[:, 1], rtol=1e-4, atol=1e-3)
+    psi, r_new = CP.score_candidates(
+        logp, enc_len, r0[:, None], jnp.zeros((1, 1)),
+        jnp.zeros((1, 1), jnp.int32),
+        jnp.asarray([[cands]], jnp.int32), jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(psi[0, 0]), psi_o, rtol=1e-3,
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(r_new[0, 0]), r_o, rtol=1e-3,
+                               atol=1e-2)
+
+
+def test_prefix_nonempty_prefix_and_repeat():
+    rng = np.random.default_rng(1)
+    t, v = 14, 6
+    x = _rand_logp(rng, t, v)
+    # simulate search: prefix [3], then extend with candidates incl. repeat 3
+    cands0 = [3]
+    r_prev = oracle_init(x)
+    psi0, r0_sel = oracle_score(x, [], r_prev, cands0)
+    cands1 = [2, 3, 4, 1]
+    psi_o, r_o = oracle_score(x, [3], r0_sel[0], cands1)
+
+    logp = jnp.asarray(x[None], jnp.float32)
+    enc_len = jnp.asarray([t])
+    r_init = CP.init_state(logp, enc_len)
+    psi_j0, r_j0 = CP.score_candidates(
+        logp, enc_len, r_init[:, None], jnp.zeros((1, 1)),
+        jnp.zeros((1, 1), jnp.int32), jnp.asarray([[cands0]], jnp.int32),
+        jnp.asarray(0))
+    r_sel = r_j0[:, :, 0]  # chose candidate 3
+    psi_j, r_j = CP.score_candidates(
+        logp, enc_len, r_sel, psi_j0[:, :, 0],
+        jnp.asarray([[3]], jnp.int32), jnp.asarray([[cands1]], jnp.int32),
+        jnp.asarray(1))
+    np.testing.assert_allclose(np.asarray(psi_j[0, 0]), psi_o, rtol=1e-3,
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(r_j[0, 0]), r_o, rtol=1e-3,
+                               atol=1e-2)
+
+
+def test_prefix_respects_enc_len_padding():
+    rng = np.random.default_rng(2)
+    t_true, pad, v = 10, 6, 5
+    x = _rand_logp(rng, t_true, v)
+    cands = [2, 3]
+    r_prev = oracle_init(x)
+    psi_o, _ = oracle_score(x, [], r_prev, cands)
+
+    # pad frames with garbage; enc_len must shield them
+    x_pad = np.concatenate([x, rng.standard_normal((pad, v))], 0)
+    logp = jnp.asarray(x_pad[None], jnp.float32)
+    enc_len = jnp.asarray([t_true])
+    r0 = CP.init_state(logp, enc_len)
+    psi, _ = CP.score_candidates(
+        logp, enc_len, r0[:, None], jnp.zeros((1, 1)),
+        jnp.zeros((1, 1), jnp.int32), jnp.asarray([[cands]], jnp.int32),
+        jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(psi[0, 0]), psi_o, rtol=1e-3,
+                               atol=1e-2)

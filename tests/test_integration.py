@@ -1,0 +1,161 @@
+"""End-to-end integration: train ASR + LM on the synthetic corpus, decode
+with the test solver (greedy + beam), score with the offline eval tools.
+Plays the role of the reference's debug.yaml manual smoke workflow — but
+automated."""
+
+import copy
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from e2e_asr_pytorch_tpu.utils.config import Paras, load_config
+
+
+def _paras(tmp_path, **kw):
+    return Paras(config=str(tmp_path / "cfg.yaml"),
+                 name="it", logdir=str(tmp_path / "log"),
+                 ckpdir=str(tmp_path / "ckpt"),
+                 outdir=str(tmp_path / "out"), njobs=0, cpu=True,
+                 verbose=False, **kw)
+
+
+TINY_ASR = {
+    "data": {
+        "corpus": {"name": "synthetic", "path": "", "train_split": ["train"],
+                   "dev_split": ["dev"], "bucketing": True, "batch_size": 4,
+                   "n_utts": 8, "max_tokens": 5},
+        "audio": {"feat_type": "fbank", "feat_dim": 20, "apply_cmvn": False,
+                  "delta_order": 0, "frame_length": 25, "frame_shift": 10,
+                  "ref_level_db": 20, "min_level_db": -100,
+                  "preemphasis_coeff": 0.97, "augment": False,
+                  "time_aug": False},
+        "text": {"mode": "character",
+                 "vocab_file": os.path.join(ROOT, "corpus",
+                                            "librispeech_char.txt")},
+    },
+    "hparas": {"valid_step": 4, "max_step": 4, "tf_start": 1.0, "tf_end": 1.0,
+               "tf_step": 10, "optimizer": "Adadelta", "lr": 1.0,
+               "eps": 1e-8, "lr_scheduler": "fixed", "curriculum": 0,
+               "val_mode": "cer", "early_stopping": False,
+               "label_smoothing": True},
+    "model": {
+        "ctc_weight": 0.5,
+        "encoder": {"vgg": 6, "vgg_freq": -1, "vgg_low_filt": -1,
+                    "module": "LSTM", "bidirection": True, "dim": [16],
+                    "dropout": [0.0], "layer_norm": [False], "proj": [False],
+                    "sample_rate": [1], "sample_style": "drop"},
+        "attention": {"mode": "loc", "dim": 8, "num_head": 1,
+                      "v_proj": False, "temperature": 0.5,
+                      "loc_kernel_size": 5, "loc_kernel_num": 3},
+        "decoder": {"module": "LSTM", "dim": 16, "layer": 1, "dropout": 0},
+    },
+}
+
+TINY_LM = {
+    "data": {
+        "corpus": {"name": "synthetic", "path": "",
+                   "train_split": ["lm-train"], "dev_split": ["lm-dev"],
+                   "bucketing": True, "batch_size": 8, "n_sents": 16,
+                   "max_tokens": 8},
+        "text": {"mode": "character",
+                 "vocab_file": os.path.join(ROOT, "corpus",
+                                            "librispeech_char.txt")},
+    },
+    "hparas": {"valid_step": 3, "max_step": 3, "optimizer": "Adam",
+               "lr": 1e-3, "eps": 1e-8, "lr_scheduler": "fixed"},
+    "model": {"emb_tying": True, "emb_dim": 16, "module": "LSTM", "dim": 16,
+              "n_layers": 1, "dropout": 0.1},
+}
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("it")
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver as ASRSolver
+    paras = _paras(tmp)
+    solver = ASRSolver(copy.deepcopy(TINY_ASR), paras, "train")
+    solver.load_data()
+    solver.set_model()
+    solver.exec()
+    from e2e_asr_pytorch_tpu.train.train_lm import Solver as LMSolver
+    lm_solver = LMSolver(copy.deepcopy(TINY_LM), paras, "train")
+    lm_solver.load_data()
+    lm_solver.set_model()
+    lm_solver.exec()
+    return tmp, solver, lm_solver
+
+
+def test_train_produces_checkpoints(trained):
+    tmp, solver, lm_solver = trained
+    ckpts = os.listdir(tmp / "ckpt" / "it")
+    # att CER of a 4-step model may legitimately stay above the 3.0
+    # best-tracking start (same as the reference, bin/train_asr.py:107-113),
+    # so assert the ctc best + the last_* pair + the LM best
+    assert any(c.startswith("best_ctc") for c in ckpts)
+    assert "last_att_dev.pth" in ckpts and "last_ctc_dev.pth" in ckpts
+    assert "best_ppx.pth" in ckpts
+
+
+def test_checkpoint_roundtrip(trained):
+    tmp, solver, _ = trained
+    from e2e_asr_pytorch_tpu.train import checkpoint as C
+    import jax
+    path = str(tmp / "ckpt" / "it" / "last_att_dev.pth")
+    ck = C.load_checkpoint(path, solver.params, solver.opt_state)
+    # same structure, finite values
+    leaves = jax.tree.leaves(ck["model"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert ck["global_step"] > 0
+
+
+def _run_test_solver(tmp, solver, beam_size, lm_weight=0.0):
+    from e2e_asr_pytorch_tpu.train.test_asr import Solver as TestSolver
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["src"] = {"config": "unused",
+                  "ckpt": str(tmp / "ckpt" / "it" / "last_att_dev.pth")}
+    cfg["decode"] = {"beam_size": beam_size, "ctc_weight": 0.3,
+                     "min_len_ratio": 0.0, "max_len_ratio": 0.3,
+                     "lm_weight": lm_weight,
+                     "lm_path": str(tmp / "ckpt" / "it" / "best_ppx.pth"),
+                     "lm_config": str(tmp / "lm_cfg.yaml")}
+    cfg["data"]["corpus"]["test_split"] = ["test"]
+    with open(tmp / "lm_cfg.yaml", "w") as f:
+        yaml.safe_dump(TINY_LM, f)
+    paras = _paras(tmp)
+    ts = TestSolver(cfg, paras, "test")
+    ts.load_data()
+    ts.set_model()
+    ts.exec()
+    return tmp / "out"
+
+
+def test_greedy_decode_and_eval(trained):
+    tmp, solver, _ = trained
+    out = _run_test_solver(tmp, solver, beam_size=1)
+    out_csv = [f for f in os.listdir(out) if f.endswith("_dev_output.csv")]
+    assert out_csv
+    import eval as eval_tool
+    wer, cer = eval_tool.main(["--file", str(out / out_csv[0])])
+    # a 4-step model babbles, so only sanity-check the metric plumbing
+    assert np.isfinite(cer) and cer >= 0.0
+    assert np.isfinite(wer) and 0.0 <= wer
+
+
+def test_beam_decode_with_lm_and_oracle_eval(trained):
+    tmp, solver, _ = trained
+    out = _run_test_solver(tmp, solver, beam_size=3, lm_weight=0.2)
+    beam_csv = [f for f in os.listdir(out) if f.endswith("_test_beam.csv")]
+    assert beam_csv
+    import eval_beam
+    owers, ocers = eval_beam.main(["--file", str(out / beam_csv[0])])
+    import eval as eval_tool
+    out_csv = [f for f in os.listdir(out) if f.endswith("_test_output.csv")]
+    wer, cer = eval_tool.main(["--file", str(out / out_csv[0])])
+    # oracle across beams can't be worse than top-1
+    assert owers <= wer + 1e-9
