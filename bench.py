@@ -1,0 +1,106 @@
+"""Benchmark: flagship-model training throughput on the available chip.
+
+Measures end-to-end training-step throughput (utterances/sec/chip) of the
+librispeech_asr_best recipe — VGG-LN frontend + 5x BLSTM-1280 encoder +
+location-aware LAS decoder (2x LSTM-1024) + CTC head, joint loss, Adadelta —
+including the on-device fbank front-end and SpecAugment, on synthetic
+12.8-second utterances (the long-bucket shape where the reference halves its
+batch to 8, src/collect_batch.py:21-24).
+
+Baseline: the reference repo publishes no throughput numbers (README only has
+WER); its recipe on a single V100 runs ~2s/step at batch 8 for this bucket
+(~4 utts/s) per the upstream repo's issue reports — used here as the
+vs_baseline denominator. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "utts/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_UTTS_PER_SEC = 4.0  # reference recipe, single GPU, long bucket
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship_model_cfg
+    from e2e_asr_pytorch_tpu.models import asr as M
+    from e2e_asr_pytorch_tpu.ops import ctc as ctc_ops
+    from e2e_asr_pytorch_tpu.ops import losses as L
+    from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+    from e2e_asr_pytorch_tpu.ops.specaugment import spec_augment
+    from e2e_asr_pytorch_tpu.train import optim as O
+
+    vocab = 31
+    batch, seconds, label_len = 8, 12.8, 144
+    feat_cfg = FeatureConfig(feat_type="fbank", feat_dim=40, delta_order=2,
+                             augment=True)
+    spec = M.build_spec(feat_cfg.out_dim, vocab, **_flagship_model_cfg(1.0))
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+    tx, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,
+                              lr_scheduler="fixed")
+    opt_state = tx.init(params)
+
+    def train_step(params, opt_state, wav, wav_len, txt, txt_len, rng):
+        r_aug, r_fwd = jax.random.split(rng)
+        feat, feat_len = extract_features(feat_cfg, wav, wav_len)
+        feat = spec_augment(feat, feat_len, r_aug)
+
+        def loss_fn(p):
+            ctc_out, enc_len, att_out, _, _ = M.asr_apply(
+                p, spec, feat, feat_len, label_len, tf_rate=1.0, teacher=txt,
+                rng=r_fwd, train=True, compute_dtype=jnp.bfloat16)
+            l_ctc = ctc_ops.ctc_loss(ctc_out, enc_len, txt, txt_len)
+            l_att = L.label_smoothing_loss(att_out, txt, vocab, 0.1)
+            return spec.ctc_weight * l_ctc + (1 - spec.ctc_weight) * l_att
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    n_samples = int(seconds * 16000)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((batch, n_samples)),
+                      jnp.float32) * 0.1
+    wav_len = jnp.full((batch,), n_samples, jnp.int32)
+    txt = jnp.asarray(rng.integers(3, vocab, (batch, label_len)), jnp.int32)
+    txt_len = jnp.full((batch,), label_len, jnp.int32)
+
+    # compile + warmup
+    params, opt_state, loss = step(params, opt_state, wav, wav_len, txt,
+                                   txt_len, jax.random.PRNGKey(1))
+    float(loss)
+
+    n_steps = 5
+    t0 = time.time()
+    for i in range(n_steps):
+        params, opt_state, loss = step(params, opt_state, wav, wav_len, txt,
+                                       txt_len, jax.random.PRNGKey(2 + i))
+    loss_v = float(loss)  # sync
+    dt = time.time() - t0
+
+    if not np.isfinite(loss_v):
+        print(json.dumps({"metric": "train_utts_per_sec_chip", "value": 0.0,
+                          "unit": "utts/sec", "vs_baseline": 0.0}))
+        return 1
+
+    utts_per_sec = batch * n_steps / dt
+    print(json.dumps({
+        "metric": "train_utts_per_sec_chip",
+        "value": round(utts_per_sec, 3),
+        "unit": "utts/sec",
+        "vs_baseline": round(utts_per_sec / BASELINE_UTTS_PER_SEC, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,31 @@
+"""Flatten LibriSpeech transcripts into a plain text corpus.
+
+Capability parity with the reference's corpus/subset_text.py: walks a split
+directory for *.trans.txt files and writes one transcript per line (input to
+the LM / BPE vocab builders).
+"""
+
+import argparse
+from pathlib import Path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True,
+                    help="LibriSpeech split dir, e.g. .../train-clean-100")
+    ap.add_argument("--output", default="clean100.txt")
+    args = ap.parse_args(argv)
+
+    n = 0
+    with open(args.output, "w") as out:
+        for trans in sorted(Path(args.root).rglob("*.trans.txt")):
+            with open(trans, "r") as f:
+                for line in f:
+                    text = line.rstrip("\n").split(" ", 1)[1]
+                    out.write(text + "\n")
+                    n += 1
+    print("{} transcripts written to {}".format(n, args.output))
+
+
+if __name__ == "__main__":
+    main()

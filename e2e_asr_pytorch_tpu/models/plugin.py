@@ -1,0 +1,213 @@
+"""Word-embedding regularization / fusion plugin.
+
+Capability parity with the reference EmbeddingRegularizer (reference:
+src/plugin.py:7-160): an MLP maps decoder states into a pretrained embedding
+space; the auxiliary loss is CosEmb or MSE distance to the target embedding
+(pad-masked, per-utterance length-normalized); optionally the decoder output
+distribution is fused with an embedding-similarity distribution
+  log((1-λ)·softmax(dec) + λ·softmax(relu(τ)·emb_logit))
+with fixed / learnable / vocab-wise λ and τ (reference src/plugin.py:105-126).
+
+Embedding targets come from a fasttext-format table (reference
+src/util.py:142-172) or any (V,D) array (the BERT path accepts precomputed
+target embeddings; the reference's on-line BertEmbeddingPredictor requires
+pytorch_pretrained_bert, which this environment lacks).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_pytorch_tpu.ops.rnn import espnet_linear_init, linear
+
+
+def load_embedding_table(tokenizer, path: str) -> np.ndarray:
+    """Parse a fasttext-format text embedding file into a (V,D) table
+    aligned with the tokenizer ids; unseen ids stay zero, <unk> gets the
+    average of all OOV vectors (reference src/util.py:142-172)."""
+    with open(path, "r") as f:
+        head = f.readline().strip().split()
+        emb_dim = int(head[1])
+        table = np.zeros((tokenizer.vocab_size, emb_dim), np.float32)
+        unk_count = 0
+        for line in f:
+            vocab, emb = line.rstrip("\n").split(" ", 1)
+            if vocab == "</s>":
+                vocab = "<eos>"
+            specials = {"<pad>": tokenizer.pad_idx, "<eos>": tokenizer.eos_idx,
+                        "<unk>": tokenizer.unk_idx}
+            if vocab in specials:
+                # (the reference char-encodes '<eos>' char-by-char and lands
+                # on <unk>, src/util.py:159 — mapping specials directly is
+                # strictly better and intended)
+                idx = specials[vocab]
+            else:
+                idx = tokenizer.encode(vocab)[0]
+            vec = np.asarray([float(x) for x in emb.split(" ")], np.float32)
+            if idx == tokenizer.unk_idx:
+                unk_count += 1
+                table[idx] += vec
+            else:
+                table[idx] = vec
+        if unk_count:
+            table[tokenizer.unk_idx] /= unk_count
+    return table
+
+
+class EmbPluginSpec(NamedTuple):
+    dim: int                 # embedding dim
+    dec_dim: int
+    distance: str            # 'CosEmb' | 'MSE'
+    weight: float
+    fuse: float              # 0 off, -1 learnable, -2 vocab-wise, else fixed
+    temperature: float       # -1 learnable, -2 elementwise, else fixed
+    freeze: bool
+    fuse_normalize: bool
+    dropout: float
+    vocab_size: int
+
+    @property
+    def apply_fuse(self) -> bool:
+        return self.fuse != 0
+
+    @property
+    def fuse_learnable(self) -> bool:
+        return self.fuse in (-1, -2)
+
+
+class EmbeddingRegularizer:
+    """Holds the static spec + target table; params live in the main pytree
+    (under 'emb_plugin') so they train/checkpoint with the model."""
+
+    def __init__(self, spec: EmbPluginSpec, params: Dict):
+        self.spec = spec
+        self.params = params
+        self.weight = spec.weight
+        self.apply_fuse = spec.apply_fuse
+        self.fuse_learnable = spec.fuse_learnable
+
+    def create_msg(self):
+        msg = ["Plugin.    | Word embedding regularization enabled "
+               "(type:{}, weight:{})".format(self.spec.distance, self.weight)]
+        if self.apply_fuse:
+            msg.append("           | Embedding-fusion decoder enabled "
+                       "( temp. = {}, lambda = {} )".format(
+                           self.spec.temperature, self.spec.fuse))
+        return msg
+
+    def get_weight(self, params=None):
+        p = params or self.params
+        if self.fuse_learnable:
+            return float(jax.nn.sigmoid(p["fuse_lambda"]).mean())
+        return float(p["fuse_lambda"][0])
+
+    def get_temp(self, params=None):
+        p = params or self.params
+        return float(jax.nn.relu(p["temp"]).mean())
+
+    # ---- pure functions used inside the jitted step ----
+    def emb_project(self, params: Dict, dec_state: jnp.ndarray,
+                    rng: Optional[jax.Array] = None,
+                    train: bool = False) -> jnp.ndarray:
+        x = dec_state
+        if train and self.spec.dropout > 0 and rng is not None:
+            keep = 1.0 - self.spec.dropout
+            x = x * jax.random.bernoulli(rng, keep, x.shape) / keep
+        h = jax.nn.relu(linear(params["net1"], x))
+        return linear(params["net2"], h)
+
+    def fuse_prob(self, params: Dict, x_emb: jnp.ndarray,
+                  dec_logit: jnp.ndarray) -> jnp.ndarray:
+        table = params["emb_table"]
+        if self.spec.freeze:
+            table = jax.lax.stop_gradient(table)
+        if self.spec.fuse_normalize:
+            x_n = x_emb / (jnp.linalg.norm(x_emb, axis=-1, keepdims=True) + 1e-8)
+            t_n = table / (jnp.linalg.norm(table, axis=-1, keepdims=True) + 1e-8)
+            emb_logit = jnp.einsum("...d,vd->...v", x_n, t_n)
+        else:
+            emb_logit = jnp.einsum("...d,vd->...v", x_emb, table)
+        temp = params["temp"]
+        if self.spec.temperature not in (-1, -2):
+            temp = jax.lax.stop_gradient(temp)  # fixed τ is a buffer
+        emb_prob = jax.nn.softmax(jax.nn.relu(temp) * emb_logit, -1)
+        dec_prob = jax.nn.softmax(dec_logit, -1)
+        lam = params["fuse_lambda"]
+        if self.fuse_learnable:
+            lam = jax.nn.sigmoid(lam)
+        else:
+            lam = jax.lax.stop_gradient(lam)    # fixed λ is a buffer
+        fused = (1 - lam) * dec_prob + lam * emb_prob
+        return jnp.log(fused + 1e-8)
+
+    def loss(self, params: Dict, dec_state: jnp.ndarray,
+             dec_logit: jnp.ndarray, label: jnp.ndarray
+             ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Returns (emb regression loss, fused log-prob or None).
+
+        dec_state: (B,L,H) decoder states; label: (B,L) target ids."""
+        x_emb = self.emb_project(params, dec_state, train=True)
+        table = params["emb_table"]
+        if self.spec.freeze:
+            table = jax.lax.stop_gradient(table)
+        y_emb = table[label]
+        if self.spec.distance == "CosEmb":
+            num = jnp.sum(x_emb * y_emb, -1)
+            den = (jnp.linalg.norm(x_emb, axis=-1) *
+                   jnp.linalg.norm(y_emb, axis=-1) + 1e-8)
+            per_pos = 1.0 - num / den
+        elif self.spec.distance == "MSE":
+            per_pos = jnp.mean((x_emb - y_emb) ** 2, axis=-1)
+        else:
+            raise NotImplementedError(self.spec.distance)
+        mask = (label != 0).astype(per_pos.dtype)
+        per_utt = jnp.sum(per_pos * mask, -1) / jnp.maximum(mask.sum(-1), 1.0)
+        loss = jnp.mean(per_utt)
+        fused = self.fuse_prob(params, x_emb, dec_logit) \
+            if self.apply_fuse else None
+        return loss, fused
+
+    def fuse_step(self, params: Dict, dec_state: jnp.ndarray,
+                  dec_logit: jnp.ndarray) -> jnp.ndarray:
+        """Inference-time fusion (decode path): (B,H),(B,V) -> log prob."""
+        x_emb = self.emb_project(params, dec_state, train=False)
+        return self.fuse_prob(params, x_emb, dec_logit)
+
+
+def build(emb_cfg: Dict, tokenizer, dec_dim: int,
+          key: jax.Array) -> EmbeddingRegularizer:
+    """Construct from the YAML ``emb:`` block (same keys as the reference)."""
+    cfg = dict(emb_cfg)
+    cfg.pop("enable", None)
+    src = cfg.pop("src", None)
+    bert = cfg.pop("bert", None)
+    if bert is not None:
+        raise NotImplementedError(
+            "on-line BERT target embeddings need pytorch_pretrained_bert; "
+            "precompute a fasttext-format table and pass it as `src` instead")
+    table = load_embedding_table(tokenizer, src)
+    vocab_size, emb_dim = table.shape
+    spec = EmbPluginSpec(
+        dim=emb_dim, dec_dim=dec_dim, distance=cfg.pop("distance", "CosEmb"),
+        weight=cfg.pop("weight", 1.0), fuse=cfg.pop("fuse", 0),
+        temperature=cfg.pop("temperature", 1.0),
+        freeze=cfg.pop("freeze", True),
+        fuse_normalize=cfg.pop("fuse_normalize", False),
+        dropout=cfg.pop("dropout", 0.0), vocab_size=vocab_size)
+    k1, k2 = jax.random.split(key)
+    hidden = (emb_dim + dec_dim) // 2
+    params = {
+        "emb_table": jnp.asarray(table),
+        "net1": espnet_linear_init(k1, dec_dim, hidden),
+        "net2": espnet_linear_init(k2, hidden, emb_dim),
+        "fuse_lambda": (jnp.full((vocab_size,), 0.5) if spec.fuse == -2 else
+                        jnp.asarray([0.5 if spec.fuse == -1 else spec.fuse])),
+        "temp": (jnp.ones((vocab_size,)) if spec.temperature == -2 else
+                 jnp.asarray([1.0 if spec.temperature == -1
+                              else spec.temperature])),
+    }
+    return EmbeddingRegularizer(spec, params)

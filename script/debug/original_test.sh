@@ -1,0 +1,3 @@
+#!/bin/bash
+# Beam-decode the smoke model trained by original_train.sh.
+python3 main.py --test --config config/synthetic_test.yaml --njobs 0 "$@"

@@ -1,0 +1,3 @@
+#!/bin/bash
+# Deterministic tiny-model smoke training (no dataset required).
+python3 main.py --config config/synthetic_debug.yaml --deterministic --njobs 0 --seed 0 "$@"

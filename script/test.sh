@@ -1,0 +1,3 @@
+#!/bin/bash
+# Beam-decode dev+test with the trained ASR + LM (beam 8, lm 0.3).
+python3 main.py --test --config config/librispeech_test.yaml --njobs 8 "$@"

@@ -1,0 +1,3 @@
+#!/bin/bash
+# Train the baseline ASR recipe.
+python3 main.py --config config/librispeech_asr.yaml --njobs 8 "$@"

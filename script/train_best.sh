@@ -1,0 +1,3 @@
+#!/bin/bash
+# Train the flagship (best) ASR recipe behind the published WER numbers.
+python3 main.py --config config/librispeech_asr_best.yaml --njobs 8 "$@"

@@ -1,0 +1,3 @@
+#!/bin/bash
+# Train the char RNNLM used for shallow fusion at decode time.
+python3 main.py --lm --config config/librispeech_lm_best.yaml --njobs 8 "$@"

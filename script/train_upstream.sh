@@ -1,0 +1,4 @@
+#!/bin/bash
+# Train with a pluggable upstream feature source (see data/upstream.py for
+# registering one; 'fbank80' is built in as the contract demo).
+python3 main.py --config config/librispeech_asr.yaml --upstream fbank80 --njobs 8 "$@"

@@ -1,8 +1,11 @@
-"""Test configuration: force a virtual 8-device CPU backend BEFORE jax loads.
+"""Test configuration: force a virtual 8-device CPU backend BEFORE any test
+imports jax.
 
-Multi-chip sharding tests run against the standard JAX fake multi-device CPU
-backend (xla_force_host_platform_device_count); numerical golden tests compare
-against torch CPU ops.
+Note: this environment's axon TPU plugin overrides the JAX_PLATFORMS env var
+(jax.config.jax_platforms comes up as "axon,cpu"), so the env-var approach is
+not enough — we must update jax.config before the backend initializes.
+Numerical golden tests compare against torch CPU ops; multi-chip sharding
+tests run against the 8-device virtual CPU mesh.
 """
 
 import os
@@ -12,7 +15,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older jax: the XLA_FLAGS path covers it
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

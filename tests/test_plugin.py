@@ -1,0 +1,92 @@
+"""Embedding regularizer / fusion plugin tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_pytorch_tpu.data.tokenizer import CharacterTextEncoder
+from e2e_asr_pytorch_tpu.models import plugin as P
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return CharacterTextEncoder(["A", "B", "C"])
+
+
+@pytest.fixture(scope="module")
+def emb_file(tmp_path_factory, tok):
+    path = tmp_path_factory.mktemp("emb") / "emb.vec"
+    rng = np.random.default_rng(0)
+    lines = ["{} {}".format(tok.vocab_size, 4)]
+    for v in ["A", "B", "C", "</s>"]:
+        vec = rng.standard_normal(4)
+        lines.append(v + " " + " ".join("%.4f" % x for x in vec))
+    path.write_text("\n".join(lines))
+    return str(path)
+
+
+def test_load_embedding_table(tok, emb_file):
+    table = P.load_embedding_table(tok, emb_file)
+    assert table.shape == (tok.vocab_size, 4)
+    # A=idx3 nonzero, pad=0 zero, eos(</s>) nonzero
+    assert np.abs(table[3]).sum() > 0
+    assert np.abs(table[0]).sum() == 0
+    assert np.abs(table[1]).sum() > 0
+
+
+def _build(tok, emb_file, fuse=0.3, distance="CosEmb"):
+    cfg = dict(enable=True, src=emb_file, distance=distance, weight=0.5,
+               fuse=fuse, temperature=2.0, freeze=True, fuse_normalize=False,
+               dropout=0.0)
+    return P.build(cfg, tok, dec_dim=8, key=jax.random.PRNGKey(0))
+
+
+def test_loss_and_fusion(tok, emb_file):
+    reg = _build(tok, emb_file)
+    b, t, h, v = 2, 5, 8, tok.vocab_size
+    rng = np.random.default_rng(1)
+    dec_state = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+    dec_logit = jnp.asarray(rng.standard_normal((b, t, v)), jnp.float32)
+    label = jnp.asarray([[3, 4, 5, 1, 0], [3, 3, 1, 0, 0]], jnp.int32)
+    loss, fused = reg.loss(reg.params, dec_state, dec_logit, label)
+    assert np.isfinite(float(loss))
+    # fused output is a log-distribution
+    s = np.exp(np.asarray(fused)).sum(-1)
+    np.testing.assert_allclose(s, 1.0, rtol=1e-4)
+
+
+def test_mse_distance_and_fixed_params_not_trained(tok, emb_file):
+    reg = _build(tok, emb_file, fuse=0.5, distance="MSE")
+    b, t, h, v = 1, 3, 8, tok.vocab_size
+    dec_state = jnp.ones((b, t, h))
+    dec_logit = jnp.ones((b, t, v))
+    label = jnp.asarray([[3, 4, 1]], jnp.int32)
+
+    def total(params):
+        loss, fused = reg.loss(params, dec_state, dec_logit, label)
+        return loss + fused.sum()
+
+    g = jax.grad(total)(reg.params)
+    # fixed lambda/temp are buffers: no gradient flows
+    assert float(jnp.abs(g["fuse_lambda"]).sum()) == 0.0
+    assert float(jnp.abs(g["temp"]).sum()) == 0.0
+    # frozen embedding table: no gradient
+    assert float(jnp.abs(g["emb_table"]).sum()) == 0.0
+    # the projection net trains
+    assert float(jnp.abs(g["net1"]["w"]).sum()) > 0.0
+
+
+def test_learnable_fusion(tok, emb_file):
+    reg = _build(tok, emb_file, fuse=-1)
+    assert reg.fuse_learnable
+    lam = reg.get_weight()
+    assert 0.0 < lam < 1.0
+
+    def total_ok(params):
+        _, fused = reg.loss(params, jnp.ones((1, 2, 8)),
+                            jnp.zeros((1, 2, 6)), jnp.asarray([[3, 1]], jnp.int32))
+        return fused.sum()
+
+    g = jax.grad(total_ok)(reg.params)
+    assert float(jnp.abs(g["fuse_lambda"]).sum()) > 0.0

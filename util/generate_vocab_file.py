@@ -1,0 +1,65 @@
+"""Vocab / subword-model builder.
+
+Capability parity with the reference's util/generate_vocab_file.py: builds a
+character or word vocab from a text corpus (frequency-ordered, with
+--vocab_size / --char_coverage controls), or trains a sentencepiece BPE model
+with the framework's required special ids (--pad_id=0 --eos_id=1 --unk_id=2
+--bos_id=-1) when the sentencepiece library is available.
+"""
+
+import argparse
+import os
+from collections import Counter
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input_file", required=True,
+                    help="text corpus, one sentence per line")
+    ap.add_argument("--mode", choices=["character", "word", "subword"],
+                    required=True)
+    ap.add_argument("--output_file", required=True,
+                    help="vocab file (character/word) or model prefix (subword)")
+    ap.add_argument("--vocab_size", type=int, default=5000)
+    ap.add_argument("--char_coverage", type=float, default=1.0)
+    args = ap.parse_args(argv)
+
+    if args.mode == "subword":
+        import sentencepiece as splib
+        splib.SentencePieceTrainer.train(
+            input=args.input_file, model_prefix=args.output_file,
+            vocab_size=args.vocab_size, model_type="bpe",
+            character_coverage=args.char_coverage,
+            pad_id=0, eos_id=1, unk_id=2, bos_id=-1, eos_piece="<eos>")
+        print("sentencepiece model written to", args.output_file + ".model")
+        return
+
+    counter = Counter()
+    with open(args.input_file, "r") as f:
+        for line in f:
+            line = line.strip("\r\n ")
+            units = list(line) if args.mode == "character" else line.split(" ")
+            counter.update(u for u in units if u)
+
+    if args.mode == "character" and args.char_coverage < 1.0:
+        total = sum(counter.values())
+        kept, acc = [], 0
+        for u, c in counter.most_common():
+            kept.append(u)
+            acc += c
+            if acc / total >= args.char_coverage:
+                break
+        units = kept
+    else:
+        units = [u for u, _ in counter.most_common(args.vocab_size)]
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.output_file)),
+                exist_ok=True)
+    with open(args.output_file, "w") as f:
+        f.write("\n".join(units))
+    print("{} vocab ({} units) written to {}".format(
+        args.mode, len(units), args.output_file))
+
+
+if __name__ == "__main__":
+    main()
