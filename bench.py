@@ -28,6 +28,13 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    # persistent compile cache: repeated bench runs skip the XLA compile
+    import os
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _flagship_model_cfg
     from e2e_asr_pytorch_tpu.models import asr as M
     from e2e_asr_pytorch_tpu.ops import ctc as ctc_ops

@@ -93,11 +93,13 @@ def _scatter_v(base: jnp.ndarray, idx: jnp.ndarray,
     return out.reshape(base.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "cfg", "lm_spec", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("spec", "cfg", "lm_spec",
+                                             "emb_reg", "compute_dtype"))
 def beam_decode(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
                 feat: jnp.ndarray, feat_len: jnp.ndarray,
                 lm_params: Optional[Dict] = None,
                 lm_spec: Optional[LM.LMSpec] = None,
+                emb_reg=None, emb_params: Optional[Dict] = None,
                 compute_dtype=jnp.float32):
     """Beam-decode a padded batch.
 
@@ -164,11 +166,17 @@ def beam_decode(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
         dec_state_f = jax.tree.map(
             lambda x: x.reshape(x.shape[0], b * k, x.shape[-1]),
             carry["dec_state"])
-        logits, _attn, _dst, dec_state_f, prev_att_f = M.attend_and_decode(
+        logits, _attn, d_state_f, dec_state_f, prev_att_f = M.attend_and_decode(
             params, spec, cache_k, emb.reshape(b * k, -1), dec_state_f,
             carry["prev_att"].reshape((b * k,) + carry["prev_att"].shape[2:]),
             rng=None, train=False, compute_dtype=compute_dtype)
-        att_logp = jax.nn.log_softmax(logits, -1).reshape(b, k, v)
+        if emb_reg is not None and emb_reg.apply_fuse:
+            # embedding-fusion replaces the output distribution at decode
+            # time (reference src/decode.py:119-122)
+            att_logp = emb_reg.fuse_step(emb_params, d_state_f,
+                                         logits).reshape(b, k, v)
+        else:
+            att_logp = jax.nn.log_softmax(logits, -1).reshape(b, k, v)
         new_dec_state = jax.tree.map(
             lambda x: x.reshape(x.shape[0], b, k, x.shape[-1]), dec_state_f)
         new_prev_att = prev_att_f.reshape((b, k) + prev_att_f.shape[1:])

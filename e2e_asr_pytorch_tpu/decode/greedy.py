@@ -19,15 +19,20 @@ from e2e_asr_pytorch_tpu.models import asr as M
 from e2e_asr_pytorch_tpu.ops.ctc import ctc_greedy_collapse
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "decode_step", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("spec", "decode_step", "emb_reg",
+                                             "compute_dtype"))
 def greedy_decode(params: Dict, spec: M.ASRSpec, feat: jnp.ndarray,
-                  feat_len: jnp.ndarray, decode_step: int,
+                  feat_len: jnp.ndarray, decode_step: int, emb_reg=None,
+                  emb_params=None,
                   compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
     """Returns att_tokens (B,L) (if attention enabled) and ctc_tokens (B,T)
     (if CTC enabled; blank-collapsed, left-aligned)."""
+    fuse_fn = None
+    if emb_reg is not None and emb_reg.apply_fuse:
+        fuse_fn = lambda ds, lg: emb_reg.fuse_step(emb_params, ds, lg)
     ctc_out, enc_len, att_out, _, _ = M.asr_apply(
         params, spec, feat, feat_len, decode_step, teacher=None, train=False,
-        compute_dtype=compute_dtype)
+        emb_fuse_fn=fuse_fn, compute_dtype=compute_dtype)
     out = {}
     if att_out is not None:
         out["att_tokens"] = jnp.argmax(att_out, axis=-1).astype(jnp.int32)

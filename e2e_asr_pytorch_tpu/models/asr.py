@@ -176,11 +176,16 @@ def asr_apply(params: Dict, spec: ASRSpec, feat: jnp.ndarray,
               teacher: Optional[jnp.ndarray] = None,
               rng: Optional[jax.Array] = None, train: bool = False,
               get_dec_state: bool = False, get_logit: bool = False,
-              compute_dtype=jnp.float32):
+              emb_fuse_fn=None, compute_dtype=jnp.float32):
     """Forward pass.
 
     Returns (ctc_output, encode_len, att_output, att_align, dec_state) with
     the same meaning as the reference's ASR.forward (src/asr.py:89-177).
+
+    emb_fuse_fn: optional (d_state (B,H), logits (B,V)) -> fused log-probs,
+    the embedding-fusion hook (reference src/asr.py:152-163): during training
+    it only reshapes the self-sampling distribution; at inference it replaces
+    the output distribution.
     """
     b = feat.shape[0]
     if rng is None:
@@ -232,17 +237,23 @@ def asr_apply(params: Dict, spec: ASRSpec, feat: jnp.ndarray,
             logits, attn, d_state, dec_state, prev_att = attend_and_decode(
                 params, spec, cache, last_emb, dec_state, prev_att,
                 step_rng, train, compute_dtype)
+            fused = emb_fuse_fn(d_state, logits) if emb_fuse_fn is not None \
+                else None
             if teacher_emb_t is not None:
                 k_coin, k_samp, k_drop = jax.random.split(coin_rng, 3)
                 use_tf = jax.random.uniform(k_coin) <= tf_rate
-                sampled = jax.random.categorical(k_samp, logits, axis=-1)
+                samp_dist = fused if fused is not None else logits
+                sampled = jax.random.categorical(k_samp, samp_dist, axis=-1)
                 sampled_emb = embed_tokens(params, sampled, spec.emb_drop,
                                            k_drop, train)
                 next_emb = jnp.where(use_tf, teacher_t, sampled_emb)
+                step_out = logits  # training output stays raw logits
             else:
-                top1 = jnp.argmax(logits, axis=-1)
+                step_out = fused if fused is not None else logits
+                top1 = jnp.argmax(step_out, axis=-1)
                 next_emb = embed_tokens(params, top1, spec.emb_drop, None, False)
-            out = (logits, attn, d_state) if get_dec_state else (logits, attn)
+            out = (step_out, attn, d_state) if get_dec_state \
+                else (step_out, attn)
             return (dec_state, prev_att, next_emb), out
 
         xs = (step_rngs, coin_rngs,

@@ -35,7 +35,9 @@ def load_embedding_table(tokenizer, path: str) -> np.ndarray:
         table = np.zeros((tokenizer.vocab_size, emb_dim), np.float32)
         unk_count = 0
         for line in f:
-            vocab, emb = line.rstrip("\n").split(" ", 1)
+            vocab, _, emb = line.rstrip("\n").partition(" ")
+            if not vocab or len(emb.split(" ")) != emb_dim:
+                continue  # malformed row (e.g. a literal-space token)
             if vocab == "</s>":
                 vocab = "<eos>"
             specials = {"<pad>": tokenizer.pad_idx, "<eos>": tokenizer.eos_idx,

@@ -60,6 +60,15 @@ class Solver(BaseSolver):
         self.spec = M.build_spec(self.feat_dim, self.vocab_size,
                                  **self.config["model"])
         self.params = M.asr_init(jax.random.PRNGKey(0), self.spec)
+
+        # embedding-fusion plugin travels in the checkpoint's param tree
+        self.emb_reg = None
+        if "emb" in self.config and self.config["emb"].get("enable"):
+            from e2e_asr_pytorch_tpu.models import plugin as P
+            self.emb_reg = P.build(self.config["emb"], self.tokenizer,
+                                   self.spec.decoder.dim, jax.random.PRNGKey(9))
+            self.params["emb_plugin"] = self.emb_reg.params
+
         self.opt_state = None
         self.load_ckpt()
 
@@ -117,10 +126,13 @@ class Solver(BaseSolver):
                  for n in data["name"]]
         truths = [self.tokenizer.decode(t.tolist()) for t in data["txt"]]
 
+        emb_params = self.params.get("emb_plugin") if self.emb_reg else None
         if self.greedy:
             decode_step = int(np.ceil(data["txt"].shape[1] * self.DEV_STEP_RATIO))
             out = greedy_decode(self.params, self.spec, feat, feat_len,
-                                decode_step, compute_dtype=self.compute_dtype)
+                                decode_step, emb_reg=self.emb_reg,
+                                emb_params=emb_params,
+                                compute_dtype=self.compute_dtype)
             toks = np.asarray(out["att_tokens"] if "att_tokens" in out
                               else out["ctc_tokens"])
             ctc_mode = "att_tokens" not in out
@@ -137,7 +149,8 @@ class Solver(BaseSolver):
             lm_weight=self.lm_weight,
             max_steps=self._max_steps_for(int(wav.shape[1])))
         out = beam_decode(self.params, self.spec, cfg, feat, feat_len,
-                          self.lm_params, self.lm_spec,
+                          self.lm_params, self.lm_spec, emb_reg=self.emb_reg,
+                          emb_params=emb_params,
                           compute_dtype=self.compute_dtype)
         tokens = np.asarray(out["tokens"])      # B,K,L
         with open(out_path, "a") as f, open(beam_path, "a") as fb:

@@ -89,10 +89,10 @@ class Solver(BaseSolver):
                                     hp.get("tf_end", 1.0),
                                     hp.get("tf_step", 1),
                                     hp.get("tf_step_start", 0))
-        self.opt_state = self.tx.init(self.params)
         self.verbose(O.create_msg(**hp))
 
-        # embedding-regularizer plugin (reference bin/train_asr.py:137-147)
+        # embedding-regularizer plugin (reference bin/train_asr.py:137-147);
+        # its params join the tree BEFORE the optimizer state is created
         self.emb_reg = ("emb" in self.config) and self.config["emb"]["enable"]
         if self.emb_reg:
             from e2e_asr_pytorch_tpu.models import plugin as P
@@ -100,6 +100,8 @@ class Solver(BaseSolver):
                                        self.spec.decoder.dim,
                                        jax.random.fold_in(key, 99))
             self.params["emb_plugin"] = self.emb_decoder.params
+            self.verbose(self.emb_decoder.create_msg())
+        self.opt_state = self.tx.init(self.params)
 
         if self.transfer_learning:
             self.verbose("Apply transfer learning: ")
@@ -194,9 +196,14 @@ class Solver(BaseSolver):
         @functools.partial(jax.jit, static_argnames=("decode_step",))
         def step_fn(params, wav, wav_len, txt, txt_len, decode_step):
             feat, feat_len = self._features(wav, wav_len, None, False)
+            fuse_fn = None
+            if self.emb_reg and self.emb_decoder.apply_fuse:
+                fuse_fn = lambda ds, lg: self.emb_decoder.fuse_step(
+                    params["emb_plugin"], ds, lg)
             ctc_out, enc_len, att_out, att_align, _ = M.asr_apply(
                 params, self.spec, feat, feat_len, decode_step,
-                teacher=None, train=False, compute_dtype=self.compute_dtype)
+                teacher=None, train=False, emb_fuse_fn=fuse_fn,
+                compute_dtype=self.compute_dtype)
             return ctc_out, att_out, att_align
         return step_fn
 

@@ -1,0 +1,63 @@
+"""End-to-end embedding-regularizer training + fusion decoding (the `emb:`
+config block, reference bin/train_asr.py:137-147 + src/plugin.py)."""
+
+import copy
+import os
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from tests.test_integration import TINY_ASR, _paras
+
+
+@pytest.fixture(scope="module")
+def emb_file(tmp_path_factory):
+    # fasttext-format table covering the char vocab
+    path = tmp_path_factory.mktemp("embtr") / "char.vec"
+    rng = np.random.default_rng(0)
+    chars = ["'"] + [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+    lines = ["{} {}".format(len(chars) + 1, 8)]
+    for ch in chars + ["</s>"]:
+        vec = rng.standard_normal(8)
+        lines.append(ch + " " + " ".join("%.4f" % x for x in vec))
+    path.write_text("\n".join(lines))
+    return str(path)
+
+
+def test_train_and_decode_with_emb_plugin(tmp_path, emb_file):
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver as ASRSolver
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["emb"] = {"enable": True, "src": emb_file, "distance": "CosEmb",
+                  "weight": 0.3, "fuse": 0.4, "temperature": 1.0,
+                  "freeze": True, "fuse_normalize": False, "dropout": 0.0}
+    cfg["hparas"]["max_step"] = 2
+    cfg["hparas"]["valid_step"] = 2
+    paras = _paras(tmp_path)
+    solver = ASRSolver(cfg, paras, "train")
+    solver.load_data()
+    solver.set_model()
+    assert solver.emb_reg and solver.emb_decoder.apply_fuse
+    solver.exec()
+    assert "emb_plugin" in solver.params
+    ckpts = os.listdir(tmp_path / "ckpt" / "it")
+    assert "last_att_dev.pth" in ckpts
+
+    # decode with fusion through the test solver
+    from e2e_asr_pytorch_tpu.train.test_asr import Solver as TestSolver
+    tcfg = copy.deepcopy(cfg)
+    tcfg["src"] = {"config": "unused",
+                   "ckpt": str(tmp_path / "ckpt" / "it" / "last_att_dev.pth")}
+    tcfg["decode"] = {"beam_size": 2, "ctc_weight": 0.0, "min_len_ratio": 0.0,
+                      "max_len_ratio": 0.3, "lm_weight": 0.0}
+    tcfg["data"]["corpus"]["test_split"] = ["test"]
+    ts = TestSolver(tcfg, paras, "test")
+    ts.load_data()
+    ts.set_model()
+    assert ts.emb_reg is not None
+    ts.exec()
+    out_files = os.listdir(tmp_path / "out")
+    assert any(f.endswith("_test_output.csv") for f in out_files)
