@@ -88,6 +88,8 @@ def _rnn_layer_apply(p: Dict, spec: EncoderSpec, l: int, x: jnp.ndarray,
     if spec.module == "LSTM":
         if spec.bidirection:
             y = R.bilstm_layer(p["fw"], p["bw"], x, compute_dtype)
+        elif R._use_pallas(spec.dim[l]):
+            y = R.lstm_layer_pallas(p["fw"], x, compute_dtype=compute_dtype)
         else:
             y, _ = R.lstm_layer(p["fw"], x, compute_dtype=compute_dtype)
     elif spec.module == "GRU":

@@ -85,6 +85,31 @@ def lstm_cell(params, xg_t: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
     return h_new, c_new
 
 
+def _use_pallas(hidden: int) -> bool:
+    import os
+    if os.environ.get("E2E_ASR_PALLAS", "1") == "0":
+        return False
+    from e2e_asr_pytorch_tpu.ops.pallas.lstm import pallas_available
+    return pallas_available(hidden)
+
+
+def lstm_layer_pallas(params, x: jnp.ndarray, reverse: bool = False,
+                      compute_dtype=jnp.float32) -> jnp.ndarray:
+    """One LSTM direction via the fused Pallas recurrence kernel
+    (zero initial state). Returns y (B,T,H) only."""
+    from e2e_asr_pytorch_tpu.ops.pallas.lstm import lstm_recurrence
+    xg = jnp.einsum("btd,dh->bth", x.astype(compute_dtype),
+                    params["w_x"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32) + params["b"]
+    xg_t = jnp.swapaxes(xg, 0, 1)
+    if reverse:
+        xg_t = jnp.flip(xg_t, axis=0)
+    ys = lstm_recurrence(xg_t, params["w_h"])
+    if reverse:
+        ys = jnp.flip(ys, axis=0)
+    return jnp.swapaxes(ys, 0, 1)
+
+
 def lstm_layer(params, x: jnp.ndarray, state=None, reverse: bool = False,
                compute_dtype=jnp.float32):
     """Run one LSTM direction over (B,T,D). Returns (y (B,T,H), (h,c))."""
@@ -110,10 +135,60 @@ def lstm_layer(params, x: jnp.ndarray, state=None, reverse: bool = False,
     return jnp.swapaxes(ys, 0, 1), (h, c)
 
 
-def bilstm_layer(params_fw, params_bw, x, compute_dtype=jnp.float32):
-    """Bidirectional LSTM; output (B,T,2H) = [fw ; bw] like torch."""
-    y_fw, _ = lstm_layer(params_fw, x, compute_dtype=compute_dtype)
-    y_bw, _ = lstm_layer(params_bw, x, reverse=True, compute_dtype=compute_dtype)
+def bilstm_layer(params_fw, params_bw, x, compute_dtype=jnp.float32,
+                 fused: bool = True):
+    """Bidirectional LSTM; output (B,T,2H) = [fw ; bw] like torch.
+
+    fused=True runs BOTH directions inside ONE scan (the backward direction's
+    inputs/outputs are time-flipped around it): on TPU this halves the number
+    of sequential scan iterations — the latency-bound part of an RNN — while
+    the per-step matmul becomes a 2-batched einsum that still tiles onto the
+    MXU. When the fused Pallas recurrence kernel applies (TPU + w_h fits
+    VMEM) it takes precedence: the whole time loop runs inside one kernel
+    with the recurrent weights resident in VMEM."""
+    hidden = params_fw["w_h"].shape[0]
+    if _use_pallas(hidden):
+        y_fw = lstm_layer_pallas(params_fw, x, compute_dtype=compute_dtype)
+        y_bw = lstm_layer_pallas(params_bw, x, reverse=True,
+                                 compute_dtype=compute_dtype)
+        return jnp.concatenate([y_fw, y_bw], axis=-1)
+    if not fused:
+        y_fw, _ = lstm_layer(params_fw, x, compute_dtype=compute_dtype)
+        y_bw, _ = lstm_layer(params_bw, x, reverse=True,
+                             compute_dtype=compute_dtype)
+        return jnp.concatenate([y_fw, y_bw], axis=-1)
+
+    b, t, _ = x.shape
+    hidden = params_fw["w_h"].shape[0]
+    w_x = jnp.stack([params_fw["w_x"], params_bw["w_x"]])       # 2,D,4H
+    w_h = jnp.stack([params_fw["w_h"], params_bw["w_h"]])       # 2,H,4H
+    bias = jnp.stack([params_fw["b"], params_bw["b"]])          # 2,4H
+    # both directions' input projections in one matmul; flip the bw stream
+    xg = jnp.einsum("btd,sdh->sbth", x.astype(compute_dtype),
+                    w_x.astype(compute_dtype),
+                    preferred_element_type=jnp.float32) + bias[:, None, None, :]
+    xg = xg.at[1].set(jnp.flip(xg[1], axis=1))
+    xg_t = jnp.moveaxis(xg, 2, 0)                                # T,2,B,4H
+
+    w_h_c = w_h.astype(compute_dtype)
+
+    def step(carry, xg_step):
+        h, c = carry                                             # 2,B,H
+        gates = xg_step + jnp.einsum("sbh,shk->sbk",
+                                     h.astype(compute_dtype), w_h_c,
+                                     preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[..., :hidden])
+        f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
+        g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[..., 3 * hidden:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    zeros = jnp.zeros((2, b, hidden), jnp.float32)
+    _, ys = jax.lax.scan(step, (zeros, zeros), xg_t)             # T,2,B,H
+    y_fw = jnp.moveaxis(ys[:, 0], 0, 1)                          # B,T,H
+    y_bw = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
     return jnp.concatenate([y_fw, y_bw], axis=-1)
 
 

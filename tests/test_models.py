@@ -1,0 +1,148 @@
+"""Model-zoo coverage: every frontend variant, encoder module type,
+downsample style, attention mode/heads, and the LM — shapes + finiteness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_pytorch_tpu.models import asr as M
+from e2e_asr_pytorch_tpu.models import encoder as E
+from e2e_asr_pytorch_tpu.models import frontend as F
+from e2e_asr_pytorch_tpu.models import lm as LM
+
+
+@pytest.mark.parametrize("vgg,in_dim,expect_sr", [
+    (1, 120, 4),   # VGG 128/256ch, time/4
+    (2, 120, 4),   # FreqVGG split bands, time/4
+    (3, 120, 2),   # VGG2 time/2
+    (4, 120, 2),   # FreqVGG2 time/2
+    (5, 120, 4),   # VGG_LN
+    (6, 120, 4),   # naive downsampler
+    (7, 120, 1),   # Featemb linear
+])
+def test_frontend_variants(vgg, in_dim, expect_sr):
+    spec = F.make_spec(vgg, in_dim, vgg_freq=20 if vgg in (2, 4) else -1,
+                       vgg_low_filt=4 if vgg in (2, 4) else -1)
+    assert spec.sample_rate == expect_sr
+    params = F.frontend_init(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, in_dim)),
+                    jnp.float32)
+    x_len = jnp.asarray([16, 8])
+    y, y_len = F.frontend_apply(params, spec, x, x_len)
+    assert y.shape[0] == 2 and y.shape[1] == 16 // expect_sr
+    assert y.shape[2] == spec.out_dim
+    assert int(y_len[1]) == 8 // expect_sr
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_frontend_upstream_dim_vgg5():
+    # non-13/40-divisible dim -> upstream mode, LN over the raw dim
+    spec = F.make_spec(5, 17)
+    assert spec.upstream and spec.in_channel == 1
+    params = F.frontend_init(jax.random.PRNGKey(0), spec)
+    y, _ = F.frontend_apply(params, spec,
+                            jnp.ones((1, 8, 17)), jnp.asarray([8]))
+    assert y.shape == (1, 2, spec.out_dim)
+
+
+@pytest.mark.parametrize("module", ["LSTM", "GRU", "liGRU"])
+def test_encoder_modules(module):
+    spec = E.make_spec(16, vgg=0, vgg_freq=-1, vgg_low_filt=-1, module=module,
+                       bidirection=True, dim=[8, 8], dropout=[0.1, 0.1],
+                       layer_norm=[True, False], proj=[True, False],
+                       sample_rate=[1, 2], sample_style="drop")
+    params = E.encoder_init(jax.random.PRNGKey(0), spec)
+    x = jnp.ones((2, 12, 16))
+    y, y_len = E.encoder_apply(params, spec, x, jnp.asarray([12, 6]),
+                               rng=jax.random.PRNGKey(1), train=True)
+    assert y.shape == (2, 6, spec.out_dim)
+    assert int(y_len[0]) == 6 and int(y_len[1]) == 3
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_encoder_concat_downsample():
+    spec = E.make_spec(8, vgg=0, vgg_freq=-1, vgg_low_filt=-1, module="LSTM",
+                       bidirection=False, dim=[4], dropout=[0.0],
+                       layer_norm=[False], proj=[False], sample_rate=[2],
+                       sample_style="concat")
+    assert spec.out_dim == 8  # 4 * sample_rate 2
+    params = E.encoder_init(jax.random.PRNGKey(0), spec)
+    y, y_len = E.encoder_apply(params, spec, jnp.ones((1, 10, 8)),
+                               jnp.asarray([10]))
+    assert y.shape == (1, 5, 8)
+
+
+@pytest.mark.parametrize("mode,heads", [("dot", 1), ("dot", 4), ("loc", 2)])
+def test_attention_modes_and_heads(mode, heads):
+    cfg = dict(
+        ctc_weight=0.0,
+        encoder=dict(vgg=0, vgg_freq=-1, vgg_low_filt=-1, module="LSTM",
+                     bidirection=False, dim=[8], dropout=[0.0],
+                     layer_norm=[False], proj=[False], sample_rate=[1],
+                     sample_style="drop"),
+        attention=dict(mode=mode, dim=6, num_head=heads, v_proj=(heads > 1),
+                       temperature=1.0, loc_kernel_size=3, loc_kernel_num=2),
+        decoder=dict(module="GRU", dim=8, layer=2, dropout=0.1))
+    spec = M.build_spec(10, 7, **cfg)
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+    feat = jnp.ones((2, 9, 10))
+    ctc, enc_len, att, align, _ = M.asr_apply(
+        params, spec, feat, jnp.asarray([9, 5]), 4,
+        teacher=jnp.ones((2, 4), jnp.int32), tf_rate=1.0,
+        rng=jax.random.PRNGKey(1), train=True)
+    assert ctc is None  # ctc_weight 0
+    assert att.shape == (2, 4, 7)
+    assert align.shape == (2, heads, 4, 9)
+    # attention rows are normalized over valid frames
+    np.testing.assert_allclose(np.asarray(align).sum(-1), 1.0, rtol=1e-4)
+    # padded frames get (near-)zero attention for the short utterance
+    assert float(np.asarray(align)[1, :, :, 5:].sum()) < 1e-5
+
+
+def test_ctc_only_model():
+    cfg = dict(
+        ctc_weight=1.0,
+        encoder=dict(vgg=6, vgg_freq=-1, vgg_low_filt=-1, module="LSTM",
+                     bidirection=True, dim=[8], dropout=[0.0],
+                     layer_norm=[False], proj=[False], sample_rate=[1],
+                     sample_style="drop"),
+        attention=dict(mode="dot", dim=4, num_head=1, v_proj=False,
+                       temperature=1.0),
+        decoder=dict(module="LSTM", dim=8, layer=1, dropout=0))
+    spec = M.build_spec(12, 7, **cfg)
+    assert spec.enable_ctc and not spec.enable_att
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+    assert "decoder" not in params and "attention" not in params
+    ctc, enc_len, att, align, _ = M.asr_apply(
+        params, spec, jnp.ones((1, 16, 12)), jnp.asarray([16]), 4)
+    assert att is None and align is None
+    assert ctc.shape == (1, 4, 7)
+    # log-softmax output sums to 1 in prob space
+    np.testing.assert_allclose(np.exp(np.asarray(ctc)).sum(-1), 1.0,
+                               rtol=1e-4)
+
+
+def test_lm_sequence_vs_step():
+    spec = LM.build_spec(9, emb_tying=False, emb_dim=6, module="GRU", dim=8,
+                         n_layers=2, dropout=0.0)
+    params = LM.lm_init(jax.random.PRNGKey(0), spec)
+    toks = jnp.asarray([[3, 4, 5, 6]], jnp.int32)
+    full, _ = LM.lm_apply(params, spec, toks, train=False)
+    state = LM.lm_zero_state(spec, 1)
+    outs = []
+    for i in range(4):
+        lg, state = LM.lm_step(params, spec, toks[:, i], state)
+        outs.append(lg)
+    step = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(step), np.asarray(full), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_lm_weight_tying_shares_embedding():
+    spec = LM.build_spec(9, emb_tying=True, emb_dim=8, module="LSTM", dim=8,
+                         n_layers=1, dropout=0.0)
+    params = LM.lm_init(jax.random.PRNGKey(0), spec)
+    assert "trans" not in params
+    logits, _ = LM.lm_apply(params, spec, jnp.asarray([[3, 4]], jnp.int32))
+    assert logits.shape == (1, 2, 9)

@@ -1,0 +1,67 @@
+"""Pallas fused LSTM recurrence vs the lax.scan formulation (interpret mode
+on CPU; the same kernel compiles with Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_pytorch_tpu.ops import rnn as R
+from e2e_asr_pytorch_tpu.ops.pallas import lstm as PL
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(PL, "INTERPRET", True)
+
+
+def _scan_ref(xg, w_h):
+    t, b, h4 = xg.shape
+    hidden = h4 // 4
+
+    def step(carry, xg_t):
+        h, c = carry
+        h, c = R.lstm_cell({"w_h": w_h}, xg_t, h, c,
+                           compute_dtype=jnp.bfloat16)
+        return (h, c), h
+
+    z = jnp.zeros((b, hidden), jnp.float32)
+    _, ys = jax.lax.scan(step, (z, z), xg)
+    return ys
+
+
+def test_forward_matches_scan():
+    rng = np.random.default_rng(0)
+    t, b, h = 12, 4, 8
+    xg = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32)
+    w_h = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.3, jnp.float32)
+    ys_p = PL.lstm_recurrence(xg, w_h)
+    ys_s = _scan_ref(xg, w_h)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_s), rtol=5e-2,
+                               atol=5e-3)  # bf16 recurrent matmul tolerance
+
+
+def test_grads_match_scan():
+    rng = np.random.default_rng(1)
+    t, b, h = 6, 2, 8
+    xg = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32)
+    w_h = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.3, jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((t, b, h)), jnp.float32)
+
+    def loss_p(xg, w):
+        return jnp.sum((PL.lstm_recurrence(xg, w) - tgt) ** 2)
+
+    def loss_s(xg, w):
+        return jnp.sum((_scan_ref(xg, w) - tgt) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(xg, w_h)
+    gs = jax.grad(loss_s, argnums=(0, 1))(xg, w_h)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]),
+                               rtol=5e-2, atol=5e-1)
+
+
+def test_vmem_gate():
+    assert PL._fits_vmem(1280)
+    assert not PL._fits_vmem(4096)
