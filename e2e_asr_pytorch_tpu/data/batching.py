@@ -76,10 +76,11 @@ class AudioBatchIterator:
     def __init__(self, dataset, batch_size: int, mode: str = "train",
                  shuffle: Optional[bool] = None, drop_last: Optional[bool] = None,
                  buckets: Optional[ShapeBuckets] = None, seed: int = 0,
-                 half_batch: bool = True):
+                 half_batch: bool = True, time_aug: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.mode = mode
+        self.time_aug = time_aug and mode == "train"
         self.shuffle = (mode == "train") if shuffle is None else shuffle
         self.drop_last = self.shuffle if drop_last is None else drop_last
         self.buckets = buckets or ShapeBuckets()
@@ -102,7 +103,14 @@ class AudioBatchIterator:
         for i in idxs:
             item, toks = self.ds[i]
             names.append(item if isinstance(item, str) else "utt%d" % i)
-            wavs.append(_decode(item))
+            wav = _decode(item)
+            if self.time_aug:
+                # time-domain augmentation before features, like the
+                # reference's ReadAudio (src/audio.py:303-305)
+                from e2e_asr_pytorch_tpu.data.augment_time import \
+                    augment_waveform
+                wav = augment_waveform(wav, self.rng)
+            wavs.append(wav)
             txts.append(np.asarray(toks, np.int32))
 
         max_s = max(len(w) for w in wavs)

@@ -75,7 +75,8 @@ def load_dataset(njobs: int, use_gpu: bool, pin_memory: bool,
                                text["mode"], ascending, subset, **c)
         tr_it = AudioBatchIterator(tr_ds, batch_size, "train",
                                    shuffle=not ascending,
-                                   drop_last=not ascending, seed=seed)
+                                   drop_last=not ascending, seed=seed,
+                                   time_aug=bool(audio.get("time_aug", False)))
         if dev_split and isinstance(dev_split[0], list):
             dv_its = []
             n_dv = 0

@@ -242,6 +242,58 @@ class GreedySubwordTextEncoder(BaseTextEncoder):
         return "subword"
 
 
+BERT_FIRST_IDX = 997    # the 2 ids right before English wordpieces start
+BERT_LAST_IDX = 29635   # drop the rest of the BERT vocab
+
+
+class BertTextEncoder(BaseTextEncoder):
+    """BERT wordpiece tokenizer with the reference's index-window remap:
+    ids are shifted down by BERT_FIRST_IDX so <pad>/<eos>/<unk> occupy
+    0/1/2 and the working vocab is ids 997..29635 (reference src/text.py:7-8,
+    159-218). Loads from a HF model name or a local vocab.txt path."""
+
+    def __init__(self, tokenizer):
+        self._tok = tokenizer
+
+    @classmethod
+    def load_from_file(cls, name_or_path: str) -> "BertTextEncoder":
+        from transformers import BertTokenizer
+        if name_or_path.endswith(".txt"):
+            tok = BertTokenizer(vocab_file=name_or_path)
+        else:
+            tok = BertTokenizer.from_pretrained(name_or_path)
+        return cls(tok)
+
+    def encode(self, s: str) -> List[int]:
+        out = []
+        for idx in self._tok.encode(s, add_special_tokens=False):
+            r = idx - BERT_FIRST_IDX
+            out.append(r if r > 0 else self.unk_idx)
+        return out + [self.eos_idx]
+
+    def decode(self, ids: List[int], ignore_repeat: bool = False) -> str:
+        crop = []
+        prev = None
+        for t, idx in enumerate(ids):
+            idx = int(idx)
+            if idx == self.eos_idx:
+                break
+            if idx == self.pad_idx or (ignore_repeat and t > 0 and idx == prev):
+                prev = idx
+                continue
+            crop.append(idx + BERT_FIRST_IDX)
+            prev = idx
+        return self._tok.decode(crop)
+
+    @property
+    def vocab_size(self) -> int:
+        return BERT_LAST_IDX - BERT_FIRST_IDX + 1
+
+    @property
+    def token_type(self) -> str:
+        return "bert"
+
+
 def load_text_encoder(mode: str, vocab_file: str) -> BaseTextEncoder:
     """Factory matching the reference's YAML ``text:`` schema."""
     if mode == "character":
@@ -250,4 +302,6 @@ def load_text_encoder(mode: str, vocab_file: str) -> BaseTextEncoder:
         return SubwordTextEncoder.load_from_file(vocab_file)
     if mode in ("word", "phone"):
         return WordTextEncoder.load_from_file(vocab_file)
+    if mode.startswith("bert-"):
+        return BertTextEncoder.load_from_file(mode)
     raise NotImplementedError("text mode `{}` is not supported".format(mode))

@@ -176,7 +176,8 @@ def asr_apply(params: Dict, spec: ASRSpec, feat: jnp.ndarray,
               teacher: Optional[jnp.ndarray] = None,
               rng: Optional[jax.Array] = None, train: bool = False,
               get_dec_state: bool = False, get_logit: bool = False,
-              emb_fuse_fn=None, compute_dtype=jnp.float32):
+              emb_fuse_fn=None, fix_enc_layers: Tuple[int, ...] = (),
+              fix_dec: bool = False, compute_dtype=jnp.float32):
     """Forward pass.
 
     Returns (ctc_output, encode_len, att_output, att_align, dec_state) with
@@ -194,18 +195,31 @@ def asr_apply(params: Dict, spec: ASRSpec, feat: jnp.ndarray,
 
     enc_feat, enc_len = E.encoder_apply(
         params["encoder"], spec.encoder, feat, feat_len, rng_enc, train,
-        compute_dtype)
+        compute_dtype, fix_layers=fix_enc_layers)
 
     ctc_output = None
     if spec.enable_ctc:
+        ctc_params = params
+        if fix_dec:
+            # transfer learning: freeze the CTC head (reference
+            # src/asr.py:179-181 fix_ctc_layer)
+            ctc_params = {"ctc_layer": jax.tree.map(
+                jax.lax.stop_gradient, params["ctc_layer"])}
         if get_logit:
             ctc_output = jax.nn.relu(
-                R.linear(params["ctc_layer"], enc_feat, compute_dtype))
+                R.linear(ctc_params["ctc_layer"], enc_feat, compute_dtype))
         else:
-            ctc_output = ctc_log_probs(params, spec, enc_feat, compute_dtype)
+            ctc_output = ctc_log_probs(ctc_params, spec, enc_feat,
+                                       compute_dtype)
 
     att_output = att_align = dec_states = None
     if spec.enable_att:
+        if fix_dec:
+            # freeze decoder + attention + embedding (reference
+            # src/asr.py:268-270 Decoder.fix_layers)
+            params = dict(params)
+            for k in ("decoder", "attention", "pre_embed"):
+                params[k] = jax.tree.map(jax.lax.stop_gradient, params[k])
         t_enc = enc_feat.shape[1]
         cache = A.precompute(params["attention"], spec.attention, enc_feat,
                              enc_len, compute_dtype)

@@ -1,0 +1,81 @@
+"""Auxiliary building blocks from the reference's layer zoo.
+
+The reference defines (but does not wire into its Encoder) a residual conv
+block with LayerNorm + GELU (reference src/module.py:552-577), a CNN
+LayerNorm wrapper (:542-550) and a 2-layer batchnorm MLP head
+(src/asr.py:366-387 DNN). They're provided here as composable functional
+blocks so recipes can extend the encoder with them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_pytorch_tpu.models.frontend import _conv, _conv_init
+from e2e_asr_pytorch_tpu.ops.rnn import espnet_linear_init, linear
+
+
+def residual_cnn_init(key, channels: int, kernel: int = 3) -> Dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "cnn1": _conv_init(k1, channels, channels, kernel),
+        "cnn2": _conv_init(k2, channels, channels, kernel),
+        "ln1": {"scale": jnp.ones((channels,)), "bias": jnp.zeros((channels,))},
+        "ln2": {"scale": jnp.ones((channels,)), "bias": jnp.zeros((channels,))},
+    }
+
+
+def _ln_lastdim(p, x, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def residual_cnn_apply(params: Dict, x: jnp.ndarray,
+                       dropout: float = 0.0, rng=None, train: bool = False,
+                       compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Pre-activation residual conv block on NHWC (B,T,F,C):
+    LN -> GELU -> drop -> conv -> LN -> GELU -> drop -> conv -> +residual."""
+    res = x
+    y = _ln_lastdim(params["ln1"], x)
+    y = jax.nn.gelu(y)
+    if train and dropout > 0 and rng is not None:
+        keep = 1.0 - dropout
+        y = y * jax.random.bernoulli(jax.random.fold_in(rng, 0), keep, y.shape) / keep
+    y = _conv(params["cnn1"], y, compute_dtype)
+    y = _ln_lastdim(params["ln2"], y)
+    y = jax.nn.gelu(y)
+    if train and dropout > 0 and rng is not None:
+        keep = 1.0 - dropout
+        y = y * jax.random.bernoulli(jax.random.fold_in(rng, 1), keep, y.shape) / keep
+    y = _conv(params["cnn2"], y, compute_dtype)
+    return y + res
+
+
+def dnn_init(key, input_dim: int, hidden: int = 512) -> Dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": espnet_linear_init(k1, input_dim, hidden),
+        "fc2": espnet_linear_init(k2, hidden, hidden),
+        "bn_scale": jnp.ones((hidden,)),
+        "bn_bias": jnp.zeros((hidden,)),
+    }
+
+
+def dnn_apply(params: Dict, x: jnp.ndarray,
+              compute_dtype=jnp.float32) -> jnp.ndarray:
+    """(B,T,D) -> (B,T,512): fc -> BN(over B*T) -> relu, twice, shared BN
+    affine like the reference's single self.bn reuse (src/asr.py:372-386)."""
+    def bn(y):
+        mean = jnp.mean(y, axis=(0, 1), keepdims=True)
+        var = jnp.var(y, axis=(0, 1), keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        return y * params["bn_scale"] + params["bn_bias"]
+
+    y = jax.nn.relu(bn(linear(params["fc1"], x, compute_dtype)))
+    y = jax.nn.relu(bn(linear(params["fc2"], y, compute_dtype)))
+    return y

@@ -1,0 +1,66 @@
+"""BERT-based target embeddings for the embedding regularizer.
+
+Capability parity with the reference's bert_embedding module (reference:
+src/bert_embedding.py:9-87): wraps a fine-tuned masked-LM BERT, resizes its
+embeddings to a sentencepiece vocab, and produces target embeddings as the
+sum of all encoder layers' hidden states. The heavy model runs on the torch
+CPU backend strictly OFFLINE (pretrained weights must exist locally — this
+environment has no network); the resulting (V,D) table is exported once and
+consumed by models/plugin.py on TPU, so BERT never sits in the training hot
+path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class BertEmbeddingPredictor:
+    """Lazily loads a local BertForMaskedLM; call ``embedding_table`` to
+    export per-token target embeddings for the plugin."""
+
+    def __init__(self, model_path: str, tokenizer):
+        try:
+            import torch  # noqa: F401
+            from transformers import BertForMaskedLM
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "BERT target embeddings need torch + transformers") from e
+        from transformers import BertForMaskedLM
+        self.model = BertForMaskedLM.from_pretrained(
+            model_path, local_files_only=True, output_hidden_states=True)
+        self.model.eval()
+        self.tokenizer = tokenizer
+        if hasattr(tokenizer, "spm"):
+            # sentencepiece vocab: resize BERT's embedding matrix like the
+            # reference (src/bert_embedding.py:23-30)
+            self.model.resize_token_embeddings(tokenizer.vocab_size)
+
+    def predict(self, token_ids: np.ndarray) -> np.ndarray:
+        """(B,L) ids -> (B,L,D) summed-all-layers hidden states."""
+        import torch
+        with torch.no_grad():
+            out = self.model(input_ids=torch.from_numpy(
+                np.asarray(token_ids, np.int64)))
+            return sum(out.hidden_states).numpy()
+
+    def embedding_table(self) -> np.ndarray:
+        """(V,D) per-token target table: each vocab id embedded in
+        isolation. Export once, feed to models/plugin.py as `src`."""
+        v = self.tokenizer.vocab_size
+        ids = np.arange(v, dtype=np.int64)[:, None]
+        chunks = [self.predict(ids[i:i + 256])[:, 0, :]
+                  for i in range(0, v, 256)]
+        return np.concatenate(chunks, axis=0)
+
+
+def export_fasttext_table(predictor: BertEmbeddingPredictor, tokenizer,
+                          out_path: str) -> None:
+    """Write the BERT table in fasttext format for plugin.load_embedding_table."""
+    table = predictor.embedding_table()
+    with open(out_path, "w") as f:
+        f.write("{} {}\n".format(*table.shape))
+        for i in range(table.shape[0]):
+            piece = (tokenizer.spm.id_to_piece(i)
+                     if hasattr(tokenizer, "spm") else str(i))
+            f.write(piece + " " + " ".join("%.5f" % x for x in table[i]) + "\n")

@@ -72,16 +72,14 @@ def _fwd_kernel(xg_ref, wh_ref, ys_ref, cs_ref, h_scr, c_scr):
 
 
 def _bwd_kernel(xg_ref, wh_ref, ys_prev_ref, cs_prev_ref, cs_ref, dy_ref,
-                dxg_ref, dwh_ref, dh_scr, dc_scr, dwh_scr):
+                dxg_ref, dh_scr, dc_scr):
     t = pl.program_id(0)          # 0 .. T-1, walking REVERSED time
-    n_t = pl.num_programs(0)
     hidden = dh_scr.shape[-1]
 
     @pl.when(t == 0)
     def _():
         dh_scr[...] = jnp.zeros_like(dh_scr)
         dc_scr[...] = jnp.zeros_like(dc_scr)
-        dwh_scr[...] = jnp.zeros_like(dwh_scr)
 
     # h_{t-1}, c_{t-1} come in via index-mapped blocks (zeros block at t=0,
     # handled by the caller padding)
@@ -114,12 +112,6 @@ def _bwd_kernel(xg_ref, wh_ref, ys_prev_ref, cs_prev_ref, cs_ref, dy_ref,
     dh_scr[...] = jnp.dot(dgates.astype(wh_ref.dtype),
                           wh_ref[...].T, preferred_element_type=jnp.float32)
     dc_scr[...] = dc_prev
-    dwh_scr[...] += jnp.dot(h_prev.T.astype(dgates.dtype), dgates,
-                            preferred_element_type=jnp.float32)
-
-    @pl.when(t == n_t - 1)
-    def _():
-        dwh_ref[...] = dwh_scr[...]
 
 
 def _lstm_fwd_pallas(xg: jnp.ndarray, w_h: jnp.ndarray):
@@ -166,7 +158,7 @@ def _lstm_bwd_pallas(xg, w_h, ys, cs, dy):
     cs_prev = jnp.concatenate([zrow, cs[:-1]], axis=0)
 
     rev = lambda i: (t - 1 - i, 0, 0)
-    dxg, dwh = pl.pallas_call(
+    dxg = pl.pallas_call(
         _bwd_kernel,
         grid=(t,),
         in_specs=[
@@ -178,22 +170,18 @@ def _lstm_bwd_pallas(xg, w_h, ys, cs, dy):
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM), # c_t
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM), # dy
         ],
-        out_specs=[
-            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, h4), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, b, h4), jnp.float32),
-            jax.ShapeDtypeStruct((hidden, h4), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, h4), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((b, hidden), jnp.float32),
             pltpu.VMEM((b, hidden), jnp.float32),
-            pltpu.VMEM((hidden, h4), jnp.float32),
         ],
         interpret=INTERPRET,
     )(xg, wh_c, ys_prev, cs_prev, cs, dy)
+    # dW_h = sum_t h_{t-1}^T dgates_t — ONE big MXU matmul outside the
+    # kernel instead of a 26 MB f32 VMEM accumulator inside it
+    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg,
+                     preferred_element_type=jnp.float32)
     return dxg, dwh
 
 

@@ -81,9 +81,29 @@ def build_optimizer(optimizer: str = "Adadelta", lr: float = 1.0,
     else:
         raise NotImplementedError("optimizer `{}`".format(optimizer))
     tx = optax.chain(optax.clip_by_global_norm(grad_clip), core)
-    # skip the update entirely when any grad is non-finite
-    tx = optax.apply_if_finite(tx, max_consecutive_errors=10 ** 8)
+    # skip the update entirely when any grad is non-finite (the reference's
+    # NaN grad-norm guard, src/solver.py:99-103). Done with an inline select
+    # rather than optax.apply_if_finite — the latter wraps the update in a
+    # lax.cond that DOUBLES the compiled program.
+    tx = _skip_nonfinite(tx)
     return tx, sched
+
+
+def _skip_nonfinite(inner: optax.GradientTransformation):
+    def init(params):
+        return inner.init(params)
+
+    def update(grads, state, params=None):
+        ok = jnp.isfinite(global_norm(grads))
+        updates, new_state = inner.update(grads, state, params)
+        updates = jax.tree.map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+        new_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o) if hasattr(n, "shape") else n,
+            new_state, state)
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def global_norm(tree) -> jnp.ndarray:

@@ -69,16 +69,24 @@ class BaseSolver(abc.ABC):
         self.verbose("Experiment {} on {} device(s): {}".format(
             self.exp_name, len(self.devices), self.devices[0].platform))
 
-        # transfer learning block (reference src/solver.py:41-51)
+        # transfer learning block (reference src/solver.py:39-51): train_enc
+        # lists the encoder rnn layers to KEEP TRAINING; everything else in
+        # the stack freezes; train_dec False freezes decoder+attention+ctc
         self.transfer_learning = False
-        if mode == "train" and "transfer" in self.config:
+        if mode == "train" and self.config.get("transfer") is not None:
             t = self.config["transfer"]
             self.transfer_learning = True
-            self.train_enc = t["train_enc"]       # list of trainable enc layers
-            self.fix_enc = t.get("fix_enc", [])
+            self.train_enc = t["train_enc"]
+            n_enc = len(self.config["model"]["encoder"]["dim"])
+            self.fix_enc = [i for i in range(n_enc)
+                            if i not in self.train_enc]
             self.train_dec = t["train_dec"]
             self.fix_dec = not t["train_dec"]
-            self.save_name = t.get("save_name", "_transfer")
+            self.save_name = "_tune-{}-{}".format(
+                "".join(str(l) for l in self.train_enc),
+                "1" if self.train_dec else "0")
+            if paras.seed > 0:
+                self.save_name += "-sd" + str(paras.seed)
 
     # ------------------------------------------------------------------ io
     def verbose(self, msg):

@@ -143,9 +143,12 @@ class Solver(BaseSolver):
     def _losses(self, params, feat, feat_len, txt, txt_len, tf_rate, rng,
                 use_ctc, train):
         decode_step = txt.shape[1]
+        fix_enc = tuple(self.fix_enc) if self.transfer_learning else ()
+        fix_dec = self.fix_dec if self.transfer_learning else False
         ctc_out, enc_len, att_out, att_align, dec_state = M.asr_apply(
             params, self.spec, feat, feat_len, decode_step, tf_rate,
             teacher=txt, rng=rng, train=train, get_dec_state=self.emb_reg,
+            fix_enc_layers=fix_enc, fix_dec=fix_dec,
             compute_dtype=self.compute_dtype)
         total, ctc_loss_v, att_loss_v, emb_loss_v = 0.0, None, None, None
         if self.emb_reg:
@@ -219,7 +222,6 @@ class Solver(BaseSolver):
         use_ctc = self.spec.enable_ctc
 
         base_rng = jax.random.PRNGKey(self.paras.seed + 1)
-        fix_layers = tuple(self.fix_enc) if self.transfer_learning else ()
 
         while self.step < self.max_step:
             if self.curriculum > 0 and self.n_epochs == self.curriculum:
@@ -236,6 +238,15 @@ class Solver(BaseSolver):
                     use_ctc = False
                 rng = jax.random.fold_in(base_rng, self.step)
                 self.timer.cnt("rd")
+
+                # device timeline capture (reference only has the rd/fw/bw
+                # wall-clock buckets; this adds a real XLA trace)
+                if getattr(self.paras, "profile", False) and self.step == 10:
+                    jax.profiler.start_trace(self.logdir)
+                if getattr(self.paras, "profile", False) and self.step == 14:
+                    jax.profiler.stop_trace()
+                    self.verbose("Profiler trace (steps 10-13) written to "
+                                 + self.logdir)
 
                 self.params, self.opt_state, metrics, ctc_out, att_out = \
                     self._train_step(self.params, self.opt_state,

@@ -60,6 +60,7 @@ class Paras:
     reserve_gpu: float = 0.0  # accepted for parity; XLA manages HBM
     jit: bool = True
     deterministic: bool = False
+    profile: bool = False
     upstream: Optional[str] = None
     upstream_feature_selection: Optional[str] = None
     upstream_refresh: bool = False
@@ -92,6 +93,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--reserve_gpu", default=0, type=float, help="(parity no-op)")
     p.add_argument("--jit", action="store_true", help="(always on) jit compile")
     p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="Capture a jax.profiler device trace of a few "
+                        "training steps into the log dir")
     p.add_argument("--upstream", default=None, type=str,
                    help="Pluggable upstream feature source name")
     p.add_argument("--upstream_feature_selection", default=None, type=str)

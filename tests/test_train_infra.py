@@ -1,0 +1,145 @@
+"""Training-infrastructure unit tests: schedules, tf-rate, non-finite guard,
+transfer-learning freezes, time augmentation, aux blocks, timer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from e2e_asr_pytorch_tpu.train import optim as O
+
+
+def test_tf_rate_schedule():
+    fn = O.tf_rate_fn(tf_start=1.0, tf_end=0.5, tf_step=100, tf_step_start=50)
+    assert fn(0) == 1.0          # before start
+    assert fn(50) == 1.0         # at start
+    assert abs(fn(100) - 0.75) < 1e-9
+    assert fn(10000) == 0.5      # floor
+
+
+def test_warmup_schedule_is_noam():
+    sched = O.lr_schedule(1.0, "warmup")
+    # inverse-sqrt after warmup, linear ramp before
+    assert float(sched(0)) < float(sched(100)) < float(sched(3999))
+    peak = float(sched(3999))
+    assert float(sched(16000)) < peak
+    np.testing.assert_allclose(float(sched(3999)), 1.0 * 4000**0.5 *
+                               min(4000 * 4000**-1.5, 4000**-0.5), rtol=1e-6)
+
+
+def test_self_defined_decay():
+    sched = O.lr_schedule(1.0, "self_defined")
+    assert float(sched(99999)) == 1.0
+    np.testing.assert_allclose(float(sched(100000)), 0.85, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(101999)), 0.85, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(102000)), 0.85**2, rtol=1e-6)
+
+
+def test_nonfinite_guard_skips_update():
+    tx, _ = O.build_optimizer(optimizer="SGD", lr=0.1, eps=1e-8,
+                              lr_scheduler="fixed")
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    bad = {"w": jnp.asarray([jnp.nan, 1.0, 1.0])}
+    updates, state2 = tx.update(bad, state, params)
+    assert float(jnp.abs(updates["w"]).sum()) == 0.0
+    good = {"w": jnp.ones((3,))}
+    updates, _ = tx.update(good, state2, params)
+    assert float(jnp.abs(updates["w"]).sum()) > 0.0
+
+
+def test_adadelta_matches_torch():
+    import torch
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    g = np.array([0.1, -0.2, 0.3], np.float32)
+    tw = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.Adadelta([tw], lr=1.0, eps=1e-8)
+    for _ in range(3):
+        tw.grad = torch.tensor(g)
+        opt.step()
+
+    tx = optax.adadelta(learning_rate=1.0, rho=0.9, eps=1e-8)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for _ in range(3):
+        upd, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_transfer_learning_freezes_grads():
+    from e2e_asr_pytorch_tpu.models import asr as M
+    cfg = dict(
+        ctc_weight=0.5,
+        encoder=dict(vgg=6, vgg_freq=-1, vgg_low_filt=-1, module="LSTM",
+                     bidirection=False, dim=[8, 8], dropout=[0.0, 0.0],
+                     layer_norm=[False, False], proj=[False, False],
+                     sample_rate=[1, 1], sample_style="drop"),
+        attention=dict(mode="dot", dim=4, num_head=1, v_proj=False,
+                       temperature=1.0),
+        decoder=dict(module="LSTM", dim=8, layer=1, dropout=0))
+    spec = M.build_spec(12, 7, **cfg)
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+    feat = jnp.ones((1, 16, 12))
+    txt = jnp.asarray([[3, 4, 1]], jnp.int32)
+
+    def loss(p):
+        ctc, enc_len, att, _, _ = M.asr_apply(
+            p, spec, feat, jnp.asarray([16]), 3, tf_rate=1.0, teacher=txt,
+            rng=jax.random.PRNGKey(1), train=True,
+            fix_enc_layers=(0,), fix_dec=True)
+        return jnp.sum(att ** 2) + jnp.sum(ctc ** 2)
+
+    g = jax.grad(loss)(params)
+    # frozen: encoder layer 0, decoder, attention, embedding, ctc head
+    assert float(O.global_norm(g["encoder"]["layers"][0])) == 0.0
+    assert float(O.global_norm(g["decoder"])) == 0.0
+    assert float(O.global_norm(g["attention"])) == 0.0
+    assert float(jnp.abs(g["pre_embed"]).sum()) == 0.0
+    assert float(O.global_norm(g["ctc_layer"])) == 0.0
+    # trainable: encoder layer 1
+    assert float(O.global_norm(g["encoder"]["layers"][1])) > 0.0
+
+
+def test_time_augmentation():
+    from e2e_asr_pytorch_tpu.data import augment_time as TA
+    rng = np.random.default_rng(0)
+    wav = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
+    out = TA.augment_waveform(wav, rng)
+    assert out.dtype == np.float32 and np.isfinite(out).all()
+    st = TA.time_stretch(wav, 1.25)
+    assert len(st) < len(wav)
+    ps = TA.pitch_shift(wav, 4.0)
+    assert len(ps) == len(wav)
+    # pitch shift actually moves the dominant frequency
+    f0 = abs(np.fft.rfft(wav))[:2000].argmax()
+    f1 = abs(np.fft.rfft(ps))[:2000].argmax()
+    assert f1 > f0 * 1.15
+
+
+def test_aux_blocks():
+    from e2e_asr_pytorch_tpu.models import aux_blocks as AB
+    key = jax.random.PRNGKey(0)
+    p = AB.residual_cnn_init(key, channels=4)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 10, 4)),
+                    jnp.float32)
+    y = AB.residual_cnn_apply(p, x)
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+    pd = AB.dnn_init(key, 16, 32)
+    z = AB.dnn_apply(pd, jnp.ones((2, 5, 16)))
+    assert z.shape == (2, 5, 32)
+
+
+def test_timer_buckets():
+    import time as _time
+    from e2e_asr_pytorch_tpu.utils.timer import Timer
+    t = Timer()
+    t.set()
+    _time.sleep(0.01)
+    t.cnt("rd")
+    _time.sleep(0.02)
+    t.cnt("fw")
+    t.cnt("bw")
+    msg = t.show()
+    assert "sec/step" in msg and "rd" in msg
