@@ -135,10 +135,67 @@ class AudioBatchIterator:
         return {"name": names, "wav": wav, "wav_len": wav_len,
                 "txt": txt, "txt_len": txt_len}
 
+    def _native_usable(self) -> bool:
+        if self.time_aug or len(self.ds) == 0:
+            return False
+        item0 = self.ds[0][0]
+        if not (isinstance(item0, str) and item0.endswith(".wav")):
+            return False
+        from e2e_asr_pytorch_tpu.data import native_loader
+        return native_loader.available()
+
+    def _iter_native(self, order, depth: int = 3):
+        """Pipelined iteration through the C++ loader: decode+pad runs in
+        native worker threads `depth` batches ahead of the consumer."""
+        from e2e_asr_pytorch_tpu.data import native_loader as NL
+        loader = NL.NativeBatchLoader(n_workers=4)
+        try:
+            plans = []
+            for gi in order:
+                idxs = list(self.groups[gi])
+                paths = [self.ds[i][0] for i in idxs]
+                est = max(NL.estimate_pcm16_samples(p) for p in paths)
+                frames = est // HOP
+                if (self.half_batch and self.mode == "train"
+                        and frames > HALF_BATCHSIZE_AUDIO_LEN
+                        and len(idxs) > 1):
+                    idxs = idxs[::2]
+                    paths = paths[::2]
+                cap_s, cap_l = self.buckets.lookup(
+                    est, max(len(self.ds[i][1]) for i in idxs))
+                plans.append((idxs, paths, cap_s, cap_l))
+
+            n = len(plans)
+            submitted = 0
+            for k in range(min(depth, n)):
+                loader.submit(plans[k][1], plans[k][2])
+                submitted += 1
+            for j in range(n):
+                idxs, paths, cap_s, cap_l = plans[j]
+                wav, wav_len = loader.wait()
+                if submitted < n:
+                    loader.submit(plans[submitted][1], plans[submitted][2])
+                    submitted += 1
+                b = len(idxs)
+                txt = np.zeros((b, cap_l), np.int32)
+                txt_len = np.zeros((b,), np.int32)
+                for row, i in enumerate(idxs):
+                    t = np.asarray(self.ds[i][1], np.int32)
+                    l = min(len(t), cap_l)
+                    txt[row, :l] = t[:l]
+                    txt_len[row] = int((t[:l] != 0).sum())
+                yield {"name": paths, "wav": wav, "wav_len": wav_len,
+                       "txt": txt, "txt_len": txt_len}
+        finally:
+            loader.close()
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.groups))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self._native_usable():
+            yield from self._iter_native(order)
+            return
         for gi in order:
             yield self._emit(self.groups[gi])
 

@@ -1,0 +1,221 @@
+// Native async audio-batch loader.
+//
+// The reference's data pipeline runs audio decode in DataLoader worker
+// PROCESSES (reference: src/data.py:127, collate in src/collect_batch.py);
+// here the equivalent is a C++ thread pool that decodes RIFF/WAVE files and
+// assembles padded (B, S) float32 batches off the Python thread (no GIL),
+// overlapping host IO with device compute. Exposed through a small C API
+// consumed via ctypes (see data/native_loader.py).
+//
+// Supported input: PCM16/24/32 + float32 RIFF/WAVE, mono or multichannel
+// (averaged). Batches complete in submit order.
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <fstream>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+bool read_wav(const std::string& path, std::vector<float>* out,
+              int32_t* rate) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return false;
+  std::vector<char> data((std::istreambuf_iterator<char>(f)),
+                         std::istreambuf_iterator<char>());
+  if (data.size() < 44 || std::memcmp(data.data(), "RIFF", 4) != 0 ||
+      std::memcmp(data.data() + 8, "WAVE", 4) != 0)
+    return false;
+  size_t pos = 12;
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  const char* raw = nullptr;
+  size_t raw_size = 0;
+  while (pos + 8 <= data.size()) {
+    uint32_t size;
+    std::memcpy(&size, data.data() + pos + 4, 4);
+    const char* id = data.data() + pos;
+    const char* body = data.data() + pos + 8;
+    if (std::memcmp(id, "fmt ", 4) == 0 && size >= 16) {
+      std::memcpy(&fmt, body, 2);
+      std::memcpy(&channels, body + 2, 2);
+      std::memcpy(rate, body + 4, 4);
+      std::memcpy(&bits, body + 14, 2);
+    } else if (std::memcmp(id, "data", 4) == 0) {
+      raw = body;
+      raw_size = std::min<size_t>(size, data.size() - (pos + 8));
+    }
+    pos += 8 + size + (size & 1);
+  }
+  if (raw == nullptr || channels == 0) return false;
+
+  size_t bytes_per = bits / 8;
+  size_t n_frames = raw_size / (bytes_per * channels);
+  out->resize(n_frames);
+  for (size_t i = 0; i < n_frames; ++i) {
+    double acc = 0.0;
+    for (size_t c = 0; c < channels; ++c) {
+      const char* p = raw + (i * channels + c) * bytes_per;
+      double v = 0.0;
+      if (fmt == 3 && bits == 32) {  // float32
+        float fv;
+        std::memcpy(&fv, p, 4);
+        v = fv;
+      } else if (bits == 16) {
+        int16_t s;
+        std::memcpy(&s, p, 2);
+        v = s / 32768.0;
+      } else if (bits == 32) {
+        int32_t s;
+        std::memcpy(&s, p, 4);
+        v = s / 2147483648.0;
+      } else if (bits == 24) {
+        int32_t s = (uint8_t)p[0] | ((uint8_t)p[1] << 8) |
+                    ((int8_t)p[2] << 16);
+        v = s / 8388608.0;
+      } else if (bits == 8) {
+        v = ((uint8_t)*p - 128) / 128.0;
+      }
+      acc += v;
+    }
+    (*out)[i] = static_cast<float>(acc / channels);
+  }
+  return true;
+}
+
+struct Job {
+  int64_t id;
+  std::vector<std::string> paths;
+  int64_t cap_samples;
+  // results
+  std::vector<float> wav;      // B * cap
+  std::vector<int32_t> lens;   // B
+  std::atomic<int> remaining;
+  bool failed = false;
+};
+
+struct Loader {
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_work;
+  std::condition_variable cv_done;
+  std::deque<std::pair<Job*, size_t>> work;  // (job, item index)
+  std::deque<std::unique_ptr<Job>> pending;  // submit order
+  bool stop = false;
+
+  explicit Loader(int n_workers) {
+    for (int i = 0; i < n_workers; ++i)
+      workers.emplace_back([this] { this->run(); });
+  }
+
+  ~Loader() {
+    {
+      std::lock_guard<std::mutex> l(mu);
+      stop = true;
+    }
+    cv_work.notify_all();
+    for (auto& t : workers) t.join();
+  }
+
+  void run() {
+    for (;;) {
+      std::pair<Job*, size_t> item;
+      {
+        std::unique_lock<std::mutex> l(mu);
+        cv_work.wait(l, [this] { return stop || !work.empty(); });
+        if (stop) return;
+        item = work.front();
+        work.pop_front();
+      }
+      Job* job = item.first;
+      size_t idx = item.second;
+      std::vector<float> wav;
+      int32_t rate = 0;
+      bool ok = read_wav(job->paths[idx], &wav, &rate);
+      int64_t cap = job->cap_samples;
+      float* dst = job->wav.data() + idx * cap;
+      if (ok) {
+        int64_t n = std::min<int64_t>(wav.size(), cap);
+        std::memcpy(dst, wav.data(), n * sizeof(float));
+        job->lens[idx] = static_cast<int32_t>(n);
+      } else {
+        job->lens[idx] = 0;
+        job->failed = true;
+      }
+      if (job->remaining.fetch_sub(1) == 1) cv_done.notify_all();
+    }
+  }
+
+  void submit(int64_t id, const char** paths, int64_t n, int64_t cap) {
+    auto job = std::make_unique<Job>();
+    job->id = id;
+    job->cap_samples = cap;
+    job->paths.reserve(n);
+    for (int64_t i = 0; i < n; ++i) job->paths.emplace_back(paths[i]);
+    job->wav.assign(static_cast<size_t>(n) * cap, 0.0f);
+    job->lens.assign(n, 0);
+    job->remaining.store(static_cast<int>(n));
+    Job* raw_job = job.get();
+    {
+      std::lock_guard<std::mutex> l(mu);
+      pending.push_back(std::move(job));
+      for (int64_t i = 0; i < n; ++i)
+        work.emplace_back(raw_job, static_cast<size_t>(i));
+    }
+    cv_work.notify_all();
+  }
+
+  // wait for the OLDEST submitted job; copy out; returns id, or -1 on error
+  int64_t wait(float* out_wav, int32_t* out_lens) {
+    std::unique_ptr<Job> job;
+    {
+      std::unique_lock<std::mutex> l(mu);
+      if (pending.empty()) return -1;
+      Job* front = pending.front().get();
+      cv_done.wait(l, [front] { return front->remaining.load() == 0; });
+      job = std::move(pending.front());
+      pending.pop_front();
+    }
+    std::memcpy(out_wav, job->wav.data(), job->wav.size() * sizeof(float));
+    std::memcpy(out_lens, job->lens.data(),
+                job->lens.size() * sizeof(int32_t));
+    return job->failed ? -2 : job->id;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* dl_create(int n_workers) { return new Loader(n_workers); }
+
+void dl_destroy(void* h) { delete static_cast<Loader*>(h); }
+
+void dl_submit(void* h, int64_t id, const char** paths, int64_t n,
+               int64_t cap_samples) {
+  static_cast<Loader*>(h)->submit(id, paths, n, cap_samples);
+}
+
+int64_t dl_wait(void* h, float* out_wav, int32_t* out_lens) {
+  return static_cast<Loader*>(h)->wait(out_wav, out_lens);
+}
+
+// one-shot decode helper (single file), for tests / simple callers
+int64_t dl_read_wav(const char* path, float* out, int64_t cap,
+                    int32_t* rate) {
+  std::vector<float> wav;
+  int32_t r = 0;
+  if (!read_wav(path, &wav, &r)) return -1;
+  int64_t n = std::min<int64_t>(wav.size(), cap);
+  std::memcpy(out, wav.data(), n * sizeof(float));
+  *rate = r;
+  return n;
+}
+
+}  // extern "C"

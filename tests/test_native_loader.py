@@ -1,0 +1,74 @@
+"""Native C++ async batch loader vs the Python decode path."""
+
+import numpy as np
+import pytest
+
+from e2e_asr_pytorch_tpu.data import native_loader as NL
+from e2e_asr_pytorch_tpu.data import wav as W
+from e2e_asr_pytorch_tpu.data.batching import AudioBatchIterator
+from e2e_asr_pytorch_tpu.data.librispeech import AudioDataset
+
+pytestmark = pytest.mark.skipif(not NL.available(),
+                                reason="native loader did not build")
+
+
+@pytest.fixture(scope="module")
+def wav_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wavs")
+    rng = np.random.default_rng(0)
+    items, durs = [], []
+    for i in range(10):
+        n = int(rng.integers(4000, 24000))
+        wave = (0.4 * np.sin(2 * np.pi * 300 * np.arange(n) / 16000)
+                ).astype(np.float32)
+        path = str(root / "utt{:02d}.wav".format(i))
+        W.write_wav(path, wave, 16000)
+        toks = rng.integers(3, 30, rng.integers(2, 6)).tolist() + [1]
+        items.append((path, toks))
+        durs.append(n / 16000.0)
+    order = np.argsort([-d for d in durs])
+    return AudioDataset([items[i] for i in order], [durs[i] for i in order])
+
+
+def test_native_single_decode_matches_python(wav_corpus):
+    path = wav_corpus[0][0]
+    w_native, rate = NL.read_wav_native(path)
+    with open(path, "rb") as f:
+        w_py, rate_py = W.read_wav_bytes(f.read())
+    assert rate == rate_py == 16000
+    np.testing.assert_allclose(w_native, w_py, atol=1e-6)
+
+
+def test_batch_loader_pipelined(wav_corpus):
+    loader = NL.NativeBatchLoader(n_workers=2)
+    paths_a = [wav_corpus[i][0] for i in range(3)]
+    paths_b = [wav_corpus[i][0] for i in range(3, 6)]
+    loader.submit(paths_a, 32000)
+    loader.submit(paths_b, 32000)
+    wav_a, len_a = loader.wait()
+    wav_b, len_b = loader.wait()
+    assert wav_a.shape == (3, 32000) and wav_b.shape == (3, 32000)
+    for j, p in enumerate(paths_a):
+        ref, _ = NL.read_wav_native(p)
+        np.testing.assert_allclose(wav_a[j, :len(ref)], ref, atol=1e-6)
+        assert len_a[j] == len(ref)
+        assert np.abs(wav_a[j, len(ref):]).sum() == 0.0
+    loader.close()
+
+
+def test_iterator_native_path_matches_python(wav_corpus):
+    it_native = AudioBatchIterator(wav_corpus, 4, "eval", seed=0)
+    assert it_native._native_usable()
+    batches_native = list(it_native)
+
+    # force the python path by monkey-hiding availability
+    it_py = AudioBatchIterator(wav_corpus, 4, "eval", seed=0)
+    it_py._native_usable = lambda: False
+    batches_py = list(it_py)
+
+    assert len(batches_native) == len(batches_py)
+    for bn, bp in zip(batches_native, batches_py):
+        assert bn["wav"].shape == bp["wav"].shape
+        np.testing.assert_allclose(bn["wav"], bp["wav"], atol=1e-6)
+        np.testing.assert_array_equal(bn["wav_len"], bp["wav_len"])
+        np.testing.assert_array_equal(bn["txt"], bp["txt"])
