@@ -249,6 +249,81 @@ def apply_cmvn(feat: jnp.ndarray, feat_len: jnp.ndarray,
     return (feat - mean) / (eps + jnp.sqrt(var)) * m
 
 
+# ---------------------------------------------------------------------------
+# Inverse path: normalized log-mel -> waveform (TensorBoard audio logging)
+# Reference: src/audio.py:177-229 (mel pinv + Griffin-Lim).
+# ---------------------------------------------------------------------------
+
+def _stft_complex(wav: jnp.ndarray, n_fft: int, win: jnp.ndarray,
+                  hop: int) -> jnp.ndarray:
+    frames = frame_signal(wav[None], n_fft, hop)[0]           # (T,n_fft)
+    return jnp.fft.rfft(frames * win[None, :], axis=-1)       # (T,F)
+
+
+def _istft(spec: jnp.ndarray, n_fft: int, win: jnp.ndarray, hop: int,
+           length: int) -> jnp.ndarray:
+    """Overlap-add inverse STFT matching the centered forward framing."""
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win[None, :]  # (T,n_fft)
+    t = frames.shape[0]
+    pad = n_fft // 2
+    out_len = (t - 1) * hop + n_fft
+    idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    out = jnp.zeros((out_len,)).at[idx.reshape(-1)].add(frames.reshape(-1))
+    norm = jnp.zeros((out_len,)).at[idx.reshape(-1)].add(
+        jnp.tile(win * win, (t,)))
+    out = out / jnp.maximum(norm, 1e-8)
+    return out[pad:pad + length]
+
+
+def denormalize_db(x: jnp.ndarray, min_level_db: float) -> jnp.ndarray:
+    return min_level_db + jnp.clip(x, 0.0, 1.0) * -min_level_db
+
+
+def db_to_amp(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.power(10.0, 0.05 * x)
+
+
+def griffin_lim(cfg: FeatureConfig, magnitude: jnp.ndarray, length: int,
+                n_iter: int = 30, key: Optional[jax.Array] = None
+                ) -> jnp.ndarray:
+    """Phase reconstruction from a (T,F) magnitude spectrogram."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    win = jnp.hanning(cfg.win_length + 1)[:-1]
+    lpad = (cfg.n_fft - cfg.win_length) // 2
+    win = jnp.pad(win, (lpad, cfg.n_fft - cfg.win_length - lpad))
+    phase = jax.random.uniform(key, magnitude.shape) * 2 * jnp.pi
+    spec = magnitude * jnp.exp(1j * phase)
+    wav = _istft(spec, cfg.n_fft, win, cfg.hop_length, length)
+    for _ in range(n_iter):
+        rebuilt = _stft_complex(wav, cfg.n_fft, win, cfg.hop_length)
+        rebuilt = rebuilt[:magnitude.shape[0]]
+        phase = rebuilt / jnp.maximum(jnp.abs(rebuilt), 1e-8)
+        wav = _istft(magnitude * phase, cfg.n_fft, win, cfg.hop_length,
+                     length)
+    return wav
+
+
+def feat_to_wave(cfg: FeatureConfig, mel_feat: jnp.ndarray,
+                 n_iter: int = 30) -> Tuple[jnp.ndarray, int]:
+    """Invert a (T, n_mels) normalized log-mel back to a waveform for audio
+    logging: denormalize -> dB->amp -> mel pinv -> Griffin-Lim."""
+    mel_feat = mel_feat[:, :cfg.feat_dim]  # drop delta blocks if present
+    amp = db_to_amp(denormalize_db(mel_feat, cfg.min_level_db)
+                    + cfg.ref_level_db)                        # (T,M)
+    fb_pinv = jnp.asarray(np.linalg.pinv(cfg.mel_fb))          # (M,F)
+    spec = jnp.maximum(amp @ fb_pinv, 0.0)                     # (T,F)
+    # T*hop samples frame back to exactly T centered STFT frames
+    length = mel_feat.shape[0] * cfg.hop_length
+    wav = griffin_lim(cfg, spec, max(length, cfg.n_fft), n_iter)
+    # undo pre-emphasis: y[t] = x[t] + coeff*y[t-1]
+    def step(carry, x):
+        y = x + cfg.preemphasis_coeff * carry
+        return y, y
+    _, wav = jax.lax.scan(step, 0.0, wav)
+    return jnp.clip(wav, -1.0, 1.0), cfg.sample_rate
+
+
 def extract_features(cfg: FeatureConfig, wav: jnp.ndarray,
                      wav_len: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full front-end: (B,S) waveform + lengths -> (B,T,out_dim) + frame lens.

@@ -94,3 +94,33 @@ def test_preemphasis_matches_reference():
     out = np.asarray(AU.preemphasis(wav, 0.97))
     np.testing.assert_allclose(
         out[0], [1.0, 2.0 - 0.97, 3.0 - 0.97 * 2, 4.0 - 0.97 * 3], rtol=1e-6)
+
+
+def test_istft_roundtrip():
+    cfg = AU.FeatureConfig(feat_dim=40)
+    rng = np.random.default_rng(5)
+    wav = rng.standard_normal(8000).astype(np.float32) * 0.2
+    win = np.hanning(cfg.win_length + 1)[:-1]
+    lpad = (cfg.n_fft - cfg.win_length) // 2
+    win_p = jnp.asarray(np.pad(win, (lpad, cfg.n_fft - cfg.win_length - lpad)))
+    spec = AU._stft_complex(jnp.asarray(wav), cfg.n_fft, win_p, cfg.hop_length)
+    rec = np.asarray(AU._istft(spec, cfg.n_fft, win_p, cfg.hop_length,
+                               len(wav)))
+    # interior samples reconstruct (edges lose window coverage)
+    sl = slice(cfg.n_fft, len(wav) - cfg.n_fft)
+    np.testing.assert_allclose(rec[sl], wav[sl], atol=2e-3)
+
+
+def test_feat_to_wave_recovers_tone():
+    cfg = AU.FeatureConfig(feat_dim=80)
+    t = np.arange(16000) / 16000
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    feat, feat_len = AU.extract_features(cfg, jnp.asarray(wav[None]),
+                                         jnp.asarray([16000]))
+    rec, sr = AU.feat_to_wave(cfg, feat[0, :int(feat_len[0])], n_iter=8)
+    rec = np.asarray(rec)
+    assert sr == 16000 and np.isfinite(rec).all()
+    # dominant frequency survives the round trip
+    spec = np.abs(np.fft.rfft(rec[2000:12000]))
+    freq = np.fft.rfftfreq(10000, 1 / 16000)[spec.argmax()]
+    assert 400 < freq < 480

@@ -1,0 +1,102 @@
+"""Data pipeline behavior: bucketing, halving, shape buckets, curriculum,
+text batching, prefetch."""
+
+import numpy as np
+
+from e2e_asr_pytorch_tpu.data.batching import (HALF_BATCHSIZE_AUDIO_LEN, HOP,
+                                               AudioBatchIterator,
+                                               ShapeBuckets,
+                                               TextBatchIterator, prefetch)
+from e2e_asr_pytorch_tpu.data.librispeech import (AudioDataset,
+                                                  load_synthetic,
+                                                  load_synthetic_text)
+from e2e_asr_pytorch_tpu.data.tokenizer import CharacterTextEncoder
+
+
+def _tok():
+    return CharacterTextEncoder([chr(c) for c in range(ord("A"), ord("Z") + 1)])
+
+
+def test_shape_buckets_lookup():
+    b = ShapeBuckets()
+    s, l = b.lookup(16000, 10)       # 1s -> 2s bucket
+    assert s == 32000 and l == 48
+    s, l = b.lookup(33000, 10)       # just over 2s -> 4s bucket
+    assert s == 64000
+    s, l = b.lookup(10 ** 9, 10 ** 6)  # beyond the largest -> clamp
+    assert s == b.buckets[-1][0]
+
+
+def test_sorted_bucketing_and_static_shapes():
+    ds = load_synthetic(_tok(), n_utts=32, min_tokens=3, max_tokens=10, seed=0)
+    # sorted descending by duration
+    assert all(ds.durations[i] >= ds.durations[i + 1]
+               for i in range(len(ds) - 1))
+    it = AudioBatchIterator(ds, 8, "eval", seed=0)
+    shapes = {b["wav"].shape for b in it}
+    # a handful of static shapes, not one per batch
+    assert len(shapes) <= 3
+    for b in AudioBatchIterator(ds, 8, "eval", seed=0):
+        assert b["wav"].shape[1] % 16000 == 0 or b["wav"].shape[1] in (
+            32000, 64000, 128000, 256000, 560000)
+        # lengths consistent with content
+        for j in range(len(b["wav_len"])):
+            n = b["wav_len"][j]
+            assert np.abs(b["wav"][j, n:]).sum() == 0.0
+
+
+def test_long_batch_halving_train_mode():
+    # construct fake long utterances (> 800 frames = 128000 samples)
+    long_wav = np.zeros(HOP * (HALF_BATCHSIZE_AUDIO_LEN + 100), np.float32)
+    items = [(long_wav.copy(), [3, 4, 1]) for _ in range(8)]
+    ds = AudioDataset(items, [10.0] * 8)
+    it_tr = AudioBatchIterator(ds, 8, "train", shuffle=False, seed=0)
+    b = next(iter(it_tr))
+    assert b["wav"].shape[0] == 4          # halved
+    it_ev = AudioBatchIterator(ds, 8, "eval", seed=0)
+    b = next(iter(it_ev))
+    assert b["wav"].shape[0] == 8          # eval: no halving
+
+
+def test_curriculum_ascending_order():
+    ds = load_synthetic(_tok(), n_utts=16, seed=0, ascending=True)
+    assert all(ds.durations[i] <= ds.durations[i + 1]
+               for i in range(len(ds) - 1))
+
+
+def test_text_batching_halves_long_batches():
+    texts = [[3] * 200 + [1] for _ in range(8)] + \
+            [[4] * 10 + [1] for _ in range(8)]
+    texts.sort(key=len, reverse=True)
+    it = TextBatchIterator(texts, 8, "train", seed=0)
+    sizes = sorted(b["txt"].shape[0] for b in it)
+    assert sizes[0] == 4  # the >150-token batch halves
+    assert sizes[-1] == 8
+
+
+def test_text_shape_buckets():
+    texts = load_synthetic_text(_tok(), n_sents=40, min_tokens=3,
+                                max_tokens=20, seed=0)
+    it = TextBatchIterator(texts, 8, "eval", seed=0)
+    for b in it:
+        assert b["txt"].shape[1] in TextBatchIterator.TOKEN_BUCKETS
+
+
+def test_prefetch_preserves_order_and_content():
+    ds = load_synthetic(_tok(), n_utts=16, seed=0)
+    it = AudioBatchIterator(ds, 4, "eval", seed=0)
+    direct = [b["wav"].sum() for b in it]
+    pre = [b["wav"].sum() for b in prefetch(iter(AudioBatchIterator(
+        ds, 4, "eval", seed=0)), size=2)]
+    np.testing.assert_allclose(direct, pre)
+
+
+def test_shuffle_is_seeded_and_epochwise():
+    ds = load_synthetic(_tok(), n_utts=32, seed=0)
+    it = AudioBatchIterator(ds, 4, "train", seed=7)
+    ep1 = [tuple(b["txt_len"]) for b in it]
+    ep2 = [tuple(b["txt_len"]) for b in it]
+    it_same = AudioBatchIterator(ds, 4, "train", seed=7)
+    ep1b = [tuple(b["txt_len"]) for b in it_same]
+    assert ep1 == ep1b          # same seed, same first epoch
+    assert ep1 != ep2           # epochs reshuffle
