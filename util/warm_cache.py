@@ -1,0 +1,98 @@
+"""Pre-compile (warm) the XLA programs for a training config.
+
+The flagship train-step program takes many minutes to compile on a cold
+persistent cache; this utility compiles every (waveform-bucket, label-cap,
+batch) shape a training run will hit — including the halved long-bucket
+batches and the validation decode programs — so the actual run starts hot.
+
+Usage: python util/warm_cache.py --config config/librispeech_asr_best.yaml
+       [--buckets 2] (limit to the N smallest buckets for a quick warmup)
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="warm only the N smallest shape buckets")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/repo/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from e2e_asr_pytorch_tpu.data.batching import (DEFAULT_BUCKETS_SEC,
+                                                   HALF_BATCHSIZE_AUDIO_LEN)
+    from e2e_asr_pytorch_tpu.data.tokenizer import load_text_encoder
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+    from e2e_asr_pytorch_tpu.utils.config import Paras, load_config
+
+    config = load_config(args.config)
+    paras = Paras(config=args.config, name="warmcache", logdir="/tmp/warm_log",
+                  ckpdir="/tmp/warm_ckpt", outdir="/tmp/warm_out", njobs=0,
+                  verbose=True, seed=args.seed)
+    solver = Solver(config, paras, "train")
+
+    # bypass load_data: only tokenizer/dims are needed to build the model
+    text_cfg = config["data"]["text"]
+    solver.tokenizer = load_text_encoder(**text_cfg)
+    solver.vocab_size = solver.tokenizer.vocab_size
+    audio = config["data"]["audio"]
+    solver.feat_dim = audio["feat_dim"] * (audio.get("delta_order", 0) + 1)
+    solver.upstream = None
+    solver.set_model()
+
+    batch = config["data"]["corpus"]["batch_size"]
+    buckets = list(DEFAULT_BUCKETS_SEC)
+    if args.buckets:
+        buckets = buckets[:args.buckets]
+
+    for sec, cap_l in buckets:
+        cap_s = int(sec * 16000)
+        frames = cap_s // 160
+        b = batch // 2 if frames > HALF_BATCHSIZE_AUDIO_LEN else batch
+        wav = jnp.zeros((b, cap_s), jnp.float32)
+        wav_len = jnp.full((b,), cap_s, jnp.int32)
+        txt = jnp.ones((b, cap_l), jnp.int32)
+        txt_len = jnp.full((b,), cap_l, jnp.int32)
+        rng = jax.random.PRNGKey(0)
+
+        t0 = time.time()
+        solver.params, solver.opt_state, m, _, _ = solver._train_step(
+            solver.params, solver.opt_state, wav, wav_len, txt, txt_len,
+            rng, 1.0, use_ctc=solver.spec.enable_ctc)
+        float(m["total"])
+        print("[warm] train  ({:5.1f}s, {:4d} tok, B={}) compiled in {:6.1f}s"
+              .format(sec, cap_l, b, time.time() - t0))
+
+        # validation never halves the batch
+        wav_v = jnp.zeros((batch, cap_s), jnp.float32)
+        wav_len_v = jnp.full((batch,), cap_s, jnp.int32)
+        txt_v = jnp.ones((batch, cap_l), jnp.int32)
+        txt_len_v = jnp.full((batch,), cap_l, jnp.int32)
+        t0 = time.time()
+        decode_step = int(np.ceil(cap_l * solver.DEV_STEP_RATIO))
+        out = solver._valid_step(solver.params, wav_v, wav_len_v, txt_v,
+                                 txt_len_v, decode_step)
+        jax.block_until_ready(out)
+        print("[warm] valid  ({:5.1f}s, {:4d} tok) compiled in {:6.1f}s"
+              .format(sec, cap_l, time.time() - t0))
+    print("cache warm at",
+          os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"))
+
+
+if __name__ == "__main__":
+    main()
