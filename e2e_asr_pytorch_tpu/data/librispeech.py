@@ -142,7 +142,11 @@ class SyntheticCorpus:
         t = np.arange(self.seg_len) / self.sample_rate
         segs = []
         for v in toks:
-            freq = 200.0 + 90.0 * (int(v) - 3)
+            # geometric (≈mel-uniform) spacing keeps every token id in a
+            # distinct mel band — linear spacing collapses neighbors into
+            # one low-frequency bin and caps the learnable accuracy
+            k = (int(v) - 3) / max(self.vocab_size - 4, 1)
+            freq = 220.0 * (6000.0 / 220.0) ** k
             segs.append(np.sin(2 * np.pi * freq * t).astype(np.float32))
         wav = np.concatenate(segs) * 0.3
         wav += self.noise * rng.standard_normal(len(wav)).astype(np.float32)

@@ -169,7 +169,8 @@ class Solver(BaseSolver):
             else:
                 att_loss_v = L.cross_entropy_loss(att_out, txt)
             total += att_loss_v * (1 - self.spec.ctc_weight)
-        return total, (ctc_loss_v, att_loss_v, emb_loss_v, ctc_out, att_out)
+        return total, (ctc_loss_v, att_loss_v, emb_loss_v, ctc_out, att_out,
+                       enc_len)
 
     def _build_train_step(self):
         @functools.partial(jax.jit, static_argnames=("use_ctc",),
@@ -187,7 +188,8 @@ class Solver(BaseSolver):
             gnorm = O.global_norm(grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            ctc_l, att_l, emb_l, ctc_out, att_out = aux
+            ctc_l, att_l, emb_l, ctc_out, att_out, enc_len = aux
+            ctc_out = _mask_ctc(ctc_out, enc_len)
             metrics = {"total": total, "gnorm": gnorm,
                        "ctc": ctc_l if ctc_l is not None else jnp.nan,
                        "att": att_l if att_l is not None else jnp.nan,
@@ -207,7 +209,7 @@ class Solver(BaseSolver):
                 params, self.spec, feat, feat_len, decode_step,
                 teacher=None, train=False, emb_fuse_fn=fuse_fn,
                 compute_dtype=self.compute_dtype)
-            return ctc_out, att_out, att_align
+            return _mask_ctc(ctc_out, enc_len), att_out, att_align
         return step_fn
 
     # -------------------------------------------------------------- exec
@@ -365,3 +367,15 @@ def _opt(x):
     """Optional scalar metric -> float or None (nan used as sentinel)."""
     v = float(x)
     return None if math.isnan(v) else v
+
+
+def _mask_ctc(ctc_out, enc_len):
+    """Force padded frames (>= enc_len) to emit <blank> so host-side metric
+    decoding never reads the unsupervised padding region. (Bucket padding is
+    wider than the reference's per-batch-max padding, so this matters here.)"""
+    if ctc_out is None:
+        return None
+    t = ctc_out.shape[1]
+    valid = (jnp.arange(t)[None, :] < enc_len[:, None])[:, :, None]
+    blank = jnp.zeros((ctc_out.shape[-1],), ctc_out.dtype).at[0].set(1.0)
+    return jnp.where(valid, ctc_out, blank)
