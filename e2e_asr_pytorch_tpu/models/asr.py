@@ -65,6 +65,9 @@ def build_spec(input_size: int, vocab_size: int, ctc_weight: float,
     attn_cfg = None
     dec = None
     if ctc_weight != 1:
+        assert decoder["module"] in ("LSTM", "GRU"), \
+            "decoder module must be LSTM or GRU (the reference's liGRU " \
+            "decoder path is disabled upstream too, src/asr.py:205-211)"
         dec_dim = decoder["dim"]
         dec = DecoderSpec(decoder["module"], dec_dim, decoder["layer"],
                           decoder["dropout"], enc.out_dim + dec_dim, vocab_size)

@@ -83,7 +83,7 @@ def encoder_init(key: jax.Array, spec: EncoderSpec) -> Dict:
 
 def _rnn_layer_apply(p: Dict, spec: EncoderSpec, l: int, x: jnp.ndarray,
                      x_len: jnp.ndarray, rng: Optional[jax.Array],
-                     train: bool, compute_dtype, frozen_prefix: int):
+                     train: bool, compute_dtype):
     # recurrent pass
     if spec.module == "LSTM":
         if spec.bidirection:
@@ -160,5 +160,5 @@ def encoder_apply(params: Dict, spec: EncoderSpec, feat: jnp.ndarray,
         if l in fix_layers:
             p = jax.tree.map(jax.lax.stop_gradient, p)
         x, x_len = _rnn_layer_apply(p, spec, l, x, x_len, rng, train,
-                                    compute_dtype, 0)
+                                    compute_dtype)
     return x, x_len

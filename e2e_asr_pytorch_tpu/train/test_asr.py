@@ -47,11 +47,17 @@ class Solver(BaseSolver):
             paras.outdir, "{}_{{}}_{{}}.csv".format(self.exp_name))
 
     def load_data(self):
+        self.upstream = None
+        if self.paras.upstream is not None:
+            from e2e_asr_pytorch_tpu.data.upstream import get_upstream
+            self.upstream, up_dim = get_upstream(self.paras.upstream)
         self.dv_set, self.tt_set, self.feat_dim, self.vocab_size, \
             self.tokenizer, msg = load_dataset(
                 self.paras.njobs, self.paras.gpu, self.paras.pin_memory,
                 False, **self.config["data"], mode="eval",
                 seed=self.paras.seed)
+        if self.upstream is not None:
+            self.feat_dim = up_dim
         self.verbose(msg)
 
     def set_model(self):
@@ -121,7 +127,10 @@ class Solver(BaseSolver):
     def _decode_batch(self, data, out_path: str, beam_path: Optional[str]):
         wav = jnp.asarray(data["wav"])
         wav_len = jnp.asarray(data["wav_len"])
-        feat, feat_len = extract_features(self.feat_cfg, wav, wav_len)
+        if self.upstream is not None:
+            feat, feat_len = self.upstream(wav, wav_len)
+        else:
+            feat, feat_len = extract_features(self.feat_cfg, wav, wav_len)
         names = [os.path.basename(str(n)).rsplit(".", 1)[0]
                  for n in data["name"]]
         truths = [self.tokenizer.decode(t.tolist()) for t in data["txt"]]

@@ -1,0 +1,89 @@
+"""Solver features: multi-dev-set validation, curriculum relaunch, upstream
+feature source, resume from checkpoint."""
+
+import copy
+import os
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from tests.test_integration import TINY_ASR, _paras
+
+
+def test_multi_dev_set(tmp_path):
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["data"]["corpus"]["dev_split"] = [["devA"], ["devB"]]
+    cfg["hparas"]["max_step"] = 2
+    cfg["hparas"]["valid_step"] = 2
+    s = Solver(cfg, _paras(tmp_path), "train")
+    s.load_data()
+    assert isinstance(s.dv_set, list) and len(s.dv_set) == 2
+    assert s.dv_names == ["devA", "devB"]
+    s.set_model()
+    s.exec()
+    ckpts = os.listdir(tmp_path / "ckpt" / "it")
+    assert any("devA" in c for c in ckpts)
+    assert any("devB" in c for c in ckpts)
+
+
+def test_curriculum_relaunch(tmp_path):
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["hparas"]["curriculum"] = 1
+    cfg["hparas"]["max_step"] = 5   # 8 utts / batch 4 -> 2 steps per epoch
+    cfg["hparas"]["valid_step"] = 100
+    s = Solver(cfg, _paras(tmp_path), "train")
+    s.load_data()
+    # curriculum: ascending duration, no shuffling
+    assert s.tr_set.shuffle is False
+    s.set_model()
+    s.exec()
+    # after 1 epoch the loader was rebuilt with random sampling
+    assert s.tr_set.shuffle is True
+    assert s.curriculum == 0
+
+
+def test_upstream_feature_source(tmp_path):
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["hparas"]["max_step"] = 1
+    cfg["hparas"]["valid_step"] = 10
+    # featemb frontend consumes the 80-dim upstream features
+    cfg["model"]["encoder"]["vgg"] = 7
+    paras = _paras(tmp_path)
+    paras.upstream = "fbank80"
+    s = Solver(cfg, paras, "train")
+    s.load_data()
+    assert s.feat_dim == 80
+    s.set_model()
+    s.exec()
+    assert s.step >= 1
+
+
+def test_resume_from_checkpoint(tmp_path):
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["hparas"]["max_step"] = 2
+    cfg["hparas"]["valid_step"] = 2
+    paras = _paras(tmp_path)
+    s = Solver(copy.deepcopy(cfg), paras, "train")
+    s.load_data()
+    s.set_model()
+    s.exec()
+    ck = str(tmp_path / "ckpt" / "it" / "last_att_dev.pth")
+
+    paras2 = _paras(tmp_path)
+    paras2.load = ck
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["hparas"]["max_step"] = 4
+    s2 = Solver(cfg2, paras2, "train")
+    s2.load_data()
+    s2.set_model()
+    assert s2.step == 2  # resumed at the saved step
+    s2.exec()
+    assert s2.step >= 4
