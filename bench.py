@@ -61,7 +61,8 @@ def main():
         def loss_fn(p):
             ctc_out, enc_len, att_out, _, _ = M.asr_apply(
                 p, spec, feat, feat_len, label_len, tf_rate=1.0, teacher=txt,
-                rng=r_fwd, train=True, compute_dtype=jnp.bfloat16)
+                rng=r_fwd, train=True, sample_free=True,
+                compute_dtype=jnp.bfloat16)
             l_ctc = ctc_ops.ctc_loss(ctc_out, enc_len, txt, txt_len)
             l_att = L.label_smoothing_loss(att_out, txt, vocab, 0.1)
             return spec.ctc_weight * l_ctc + (1 - spec.ctc_weight) * l_att

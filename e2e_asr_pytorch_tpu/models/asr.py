@@ -180,7 +180,8 @@ def asr_apply(params: Dict, spec: ASRSpec, feat: jnp.ndarray,
               rng: Optional[jax.Array] = None, train: bool = False,
               get_dec_state: bool = False, get_logit: bool = False,
               emb_fuse_fn=None, fix_enc_layers: Tuple[int, ...] = (),
-              fix_dec: bool = False, compute_dtype=jnp.float32):
+              fix_dec: bool = False, sample_free: bool = False,
+              compute_dtype=jnp.float32):
     """Forward pass.
 
     Returns (ctc_output, encode_len, att_output, att_align, dec_state) with
@@ -257,13 +258,19 @@ def asr_apply(params: Dict, spec: ASRSpec, feat: jnp.ndarray,
             fused = emb_fuse_fn(d_state, logits) if emb_fuse_fn is not None \
                 else None
             if teacher_emb_t is not None:
-                k_coin, k_samp, k_drop = jax.random.split(coin_rng, 3)
-                use_tf = jax.random.uniform(k_coin) <= tf_rate
-                samp_dist = fused if fused is not None else logits
-                sampled = jax.random.categorical(k_samp, samp_dist, axis=-1)
-                sampled_emb = embed_tokens(params, sampled, spec.emb_drop,
-                                           k_drop, train)
-                next_emb = jnp.where(use_tf, teacher_t, sampled_emb)
+                if sample_free:
+                    # static fast path for tf_start == tf_end == 1.0 (the
+                    # flagship recipe): pure teacher forcing, no per-step
+                    # categorical sampling / embedding gather
+                    next_emb = teacher_t
+                else:
+                    k_coin, k_samp, k_drop = jax.random.split(coin_rng, 3)
+                    use_tf = jax.random.uniform(k_coin) <= tf_rate
+                    samp_dist = fused if fused is not None else logits
+                    sampled = jax.random.categorical(k_samp, samp_dist, axis=-1)
+                    sampled_emb = embed_tokens(params, sampled, spec.emb_drop,
+                                               k_drop, train)
+                    next_emb = jnp.where(use_tf, teacher_t, sampled_emb)
                 step_out = logits  # training output stays raw logits
             else:
                 step_out = fused if fused is not None else logits

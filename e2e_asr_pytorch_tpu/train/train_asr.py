@@ -145,10 +145,13 @@ class Solver(BaseSolver):
         decode_step = txt.shape[1]
         fix_enc = tuple(self.fix_enc) if self.transfer_learning else ()
         fix_dec = self.fix_dec if self.transfer_learning else False
+        hp = self.config["hparas"]
+        sample_free = (hp.get("tf_start", 1.0) == 1.0
+                       and hp.get("tf_end", 1.0) == 1.0)
         ctc_out, enc_len, att_out, att_align, dec_state = M.asr_apply(
             params, self.spec, feat, feat_len, decode_step, tf_rate,
             teacher=txt, rng=rng, train=train, get_dec_state=self.emb_reg,
-            fix_enc_layers=fix_enc, fix_dec=fix_dec,
+            fix_enc_layers=fix_enc, fix_dec=fix_dec, sample_free=sample_free,
             compute_dtype=self.compute_dtype)
         total, ctc_loss_v, att_loss_v, emb_loss_v = 0.0, None, None, None
         if self.emb_reg:
