@@ -121,8 +121,10 @@ def beam_decode(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
                          enc_len, compute_dtype)
     cache_k = jax.tree.map(lambda x: jnp.repeat(x, k, axis=0), cache)
 
-    min_len = jnp.ceil(enc_len.astype(jnp.float32) * cfg.min_len_ratio)
-    max_len = jnp.ceil(enc_len.astype(jnp.float32) * cfg.max_len_ratio)
+    # min/max output lengths are ratios of the INPUT feature length, not the
+    # downsampled encoder length (reference src/decode.py:73-78)
+    min_len = jnp.ceil(feat_len.astype(jnp.float32) * cfg.min_len_ratio)
+    max_len = jnp.ceil(feat_len.astype(jnp.float32) * cfg.max_len_ratio)
     max_len = jnp.clip(max_len, 1, l_max).astype(jnp.int32)
 
     # ----- CTC posteriors + prefix state -----

@@ -99,9 +99,10 @@ class Solver(BaseSolver):
         self.verbose(msg)
 
     def _max_steps_for(self, n_samples: int) -> int:
+        # ratio applies to the INPUT feature frame count (reference
+        # src/decode.py:73-75)
         frames = self.feat_cfg.frames_for_samples(n_samples)
-        enc_frames = frames // self.spec.encoder.total_sample_rate
-        return max(1, int(math.ceil(enc_frames * self.max_len_ratio)))
+        return max(1, int(math.ceil(frames * self.max_len_ratio)))
 
     def exec(self):
         for s, ds in zip(["dev", "test"], [self.dv_set, self.tt_set]):

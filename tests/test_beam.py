@@ -92,3 +92,31 @@ def test_greedy_decode_outputs(model, batch):
     row = ctc[0]
     nz = row[row != 0]
     assert all(nz[i] != nz[i + 1] for i in range(len(nz) - 1)) or len(nz) < 2
+
+
+def test_min_len_ratio_blocks_early_eos(model, batch):
+    spec, params = model
+    feat, feat_len = batch
+    # min_len_ratio 0.5 on enc_len 40/24 -> eos can't finalize before t=20/12
+    cfg = BeamConfig(beam_size=2, min_len_ratio=0.5, max_len_ratio=1.0,
+                     ctc_weight=0.0, max_steps=16)
+    out = beam_decode(params, spec, cfg, feat, feat_len)
+    out_len = np.asarray(out["out_len"])
+    scores = np.asarray(out["avg_scores"])
+    # every returned finite hypothesis respects the min length
+    for b in range(2):
+        lim = int(np.ceil(0.5 * [40, 24][b]))
+        for k in range(2):
+            if scores[b, k] > -1e20:
+                assert out_len[b, k] >= min(lim, 16)
+
+
+def test_beam_deterministic(model, batch):
+    spec, params = model
+    feat, feat_len = batch
+    cfg = BeamConfig(beam_size=3, min_len_ratio=0.0, max_len_ratio=0.5,
+                     ctc_weight=0.3, max_steps=10)
+    a = beam_decode(params, spec, cfg, feat, feat_len)
+    b = beam_decode(params, spec, cfg, feat, feat_len)
+    np.testing.assert_array_equal(np.asarray(a["tokens"]),
+                                  np.asarray(b["tokens"]))
