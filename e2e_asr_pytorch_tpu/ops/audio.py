@@ -91,6 +91,16 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
 # Delta filters (host-side constant)
 # ---------------------------------------------------------------------------
 
+def dct_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (n_in, n_out) for MFCC extraction."""
+    k = np.arange(n_out)[None, :]
+    n = np.arange(n_in)[:, None]
+    basis = np.cos(np.pi * k * (2 * n + 1) / (2 * n_in))
+    basis *= np.sqrt(2.0 / n_in)
+    basis[:, 0] *= np.sqrt(0.5)
+    return basis.astype(np.float32)
+
+
 def delta_filters(order: int, window_size: int = 2) -> np.ndarray:
     """Kaldi-style delta regression filters, shape (order+1, width).
 
@@ -183,6 +193,10 @@ class FeatureConfig:
         assert feat_type in ("fbank", "mfcc"), feat_type
         self.feat_type = feat_type
         self.feat_dim = feat_dim
+        # mfcc = DCT-II over a (wider) log-mel bank; the reference's front-end
+        # only ever computes fbank (its `mode` arg is stored unused,
+        # src/audio.py:128), so this is a capability extension
+        self.n_mels = feat_dim if feat_type == "fbank" else max(40, feat_dim)
         self.sample_rate = sample_rate
         self.n_fft = n_fft
         self.win_length = int(frame_length / 1000 * sample_rate)
@@ -196,7 +210,9 @@ class FeatureConfig:
         self.augment = augment
         self.time_aug = time_aug
         # host-side constants baked into the jitted program
-        self.mel_fb = mel_filterbank(sample_rate, n_fft, feat_dim)
+        self.mel_fb = mel_filterbank(sample_rate, n_fft, self.n_mels)
+        self.dct = (dct_matrix(self.n_mels, feat_dim)
+                    if feat_type == "mfcc" else None)
         self.delta_f = delta_filters(delta_order, delta_window_size)
 
     @property
@@ -214,7 +230,11 @@ def log_mel(cfg: FeatureConfig, wav: jnp.ndarray) -> jnp.ndarray:
     mel = jnp.einsum("btf,fm->btm", mag, jnp.asarray(cfg.mel_fb),
                      preferred_element_type=jnp.float32)
     mel = amp_to_db(mel) - cfg.ref_level_db
-    return normalize_db(mel, cfg.min_level_db)
+    mel = normalize_db(mel, cfg.min_level_db)
+    if cfg.dct is not None:
+        mel = jnp.einsum("btm,mk->btk", mel, jnp.asarray(cfg.dct),
+                         preferred_element_type=jnp.float32)
+    return mel
 
 
 def add_deltas(cfg: FeatureConfig, feat: jnp.ndarray) -> jnp.ndarray:

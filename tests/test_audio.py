@@ -124,3 +124,22 @@ def test_feat_to_wave_recovers_tone():
     spec = np.abs(np.fft.rfft(rec[2000:12000]))
     freq = np.fft.rfftfreq(10000, 1 / 16000)[spec.argmax()]
     assert 400 < freq < 480
+
+
+def test_mfcc_dct_matches_scipy():
+    from scipy.fftpack import dct as sp_dct
+    m = AU.dct_matrix(40, 13)
+    x = np.random.default_rng(7).standard_normal((5, 40)).astype(np.float32)
+    ours = x @ m
+    ref = sp_dct(x, type=2, norm="ortho", axis=-1)[:, :13]
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mfcc_pipeline_shapes():
+    cfg = AU.FeatureConfig(feat_type="mfcc", feat_dim=13, delta_order=2)
+    assert cfg.n_mels == 40 and cfg.out_dim == 39
+    wav = np.random.default_rng(8).standard_normal((2, 8000)).astype(np.float32)
+    feat, feat_len = AU.extract_features(cfg, jnp.asarray(wav),
+                                         jnp.asarray([8000, 4000]))
+    assert feat.shape[2] == 39
+    assert bool(jnp.isfinite(feat).all())
