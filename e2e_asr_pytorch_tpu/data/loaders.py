@@ -12,7 +12,7 @@ Corpora: 'librispeech' (.flac via flac CLI or .wav) and 'synthetic'
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 from e2e_asr_pytorch_tpu.data import librispeech as corpus_lib
 from e2e_asr_pytorch_tpu.data.batching import (AudioBatchIterator,

@@ -33,7 +33,6 @@ def get_upstream(name: str):
 
 
 def _builtin_fbank80():
-    import jax.numpy as jnp
     from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
     cfg = FeatureConfig(feat_type="fbank", feat_dim=80, delta_order=0)
 

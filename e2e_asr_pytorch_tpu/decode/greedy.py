@@ -10,7 +10,7 @@ first-class batched path: attention decode = asr_apply with argmax feedback
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

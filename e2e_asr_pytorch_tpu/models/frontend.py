@@ -18,7 +18,7 @@ reference's ``view_input`` (feat dim D = C * freq, channel-major).
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,9 +22,6 @@ fit VMEM or on non-TPU backends.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

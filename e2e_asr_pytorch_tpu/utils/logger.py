@@ -10,7 +10,7 @@ stdout-only if unavailable.
 from __future__ import annotations
 
 import sys
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import numpy as np
 
