@@ -95,6 +95,8 @@ def _rnn_layer_apply(p: Dict, spec: EncoderSpec, l: int, x: jnp.ndarray,
     elif spec.module == "GRU":
         if spec.bidirection:
             y = R.bigru_layer(p["fw"], p["bw"], x, compute_dtype)
+        elif R._use_pallas_gru(spec.dim[l]):
+            y = R.gru_layer_pallas(p["fw"], x, compute_dtype=compute_dtype)
         else:
             y, _ = R.gru_layer(p["fw"], x, compute_dtype=compute_dtype)
     else:  # liGRU

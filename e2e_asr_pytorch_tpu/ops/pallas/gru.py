@@ -1,0 +1,160 @@
+"""Fused GRU recurrence as a Pallas TPU kernel (torch-gate-compatible).
+
+Same design as ops/pallas/lstm.py: one sequential grid over T with w_h (and
+b_h) resident in VMEM, the hoisted input projection xg = x@W_x + b_x
+streaming through the double-buffered pipeline, hidden state carried in VMEM
+scratch, and a reverse-grid backward kernel that recomputes the gate
+activations and emits both dxg (for dW_x/db_x) and dhg (for dW_h/db_h, the
+two differ in the candidate slot because n = tanh(xn + r*hn)); weight grads
+reduce to single MXU matmuls outside the kernel. jax.custom_vjp wires it up;
+gate order (r, z, n) matches torch.nn.GRU so the scan/golden tests transfer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from e2e_asr_pytorch_tpu.ops.pallas.lstm import _VMEM_WH_LIMIT
+
+INTERPRET = False
+
+
+def gru_fits_vmem(h: int) -> bool:
+    return h * 3 * h * 2 <= _VMEM_WH_LIMIT  # bf16 w_h (H,3H)
+
+
+def _gates(xg, hg, hidden):
+    r = jax.nn.sigmoid(xg[..., :hidden] + hg[..., :hidden])
+    z = jax.nn.sigmoid(xg[..., hidden:2 * hidden] + hg[..., hidden:2 * hidden])
+    n = jnp.tanh(xg[..., 2 * hidden:] + r * hg[..., 2 * hidden:])
+    return r, z, n
+
+
+def _fwd_kernel(xg_ref, wh_ref, bh_ref, ys_ref, h_scr):
+    t = pl.program_id(0)
+    hidden = h_scr.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+
+    h_prev = h_scr[...]
+    hg = jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[...],
+                 preferred_element_type=jnp.float32) + bh_ref[...]
+    r, z, n = _gates(xg_ref[0], hg, hidden)
+    h = (1.0 - z) * n + z * h_prev
+    h_scr[...] = h
+    ys_ref[0] = h
+
+
+def _bwd_kernel(xg_ref, wh_ref, bh_ref, ys_prev_ref, dy_ref,
+                dxg_ref, dhg_ref, dh_scr):
+    t = pl.program_id(0)
+    hidden = dh_scr.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+
+    h_prev = ys_prev_ref[0]
+    hg = jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[...],
+                 preferred_element_type=jnp.float32) + bh_ref[...]
+    r, z, n = _gates(xg_ref[0], hg, hidden)
+    hn = hg[..., 2 * hidden:]
+
+    dh = dy_ref[0] + dh_scr[...]
+    dz = dh * (h_prev - n)
+    dn = dh * (1.0 - z)
+    dxn = dn * (1.0 - n * n)
+    dr = dxn * hn
+    dxr = dr * r * (1.0 - r)
+    dxz = dz * z * (1.0 - z)
+
+    dxg = jnp.concatenate([dxr, dxz, dxn], axis=-1)
+    dhg = jnp.concatenate([dxr, dxz, dxn * r], axis=-1)
+    dxg_ref[0] = dxg
+    dhg_ref[0] = dhg
+    dh_scr[...] = dh * z + jnp.dot(dhg.astype(wh_ref.dtype), wh_ref[...].T,
+                                   preferred_element_type=jnp.float32)
+
+
+def _fwd(xg, w_h, b_h):
+    t, b, h3 = xg.shape
+    hidden = h3 // 3
+    ys = pl.pallas_call(
+        _fwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, h3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, h3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=INTERPRET,
+    )(xg, w_h.astype(jnp.bfloat16), b_h[None, :])
+    return ys
+
+
+def _bwd(xg, w_h, b_h, ys, dy):
+    t, b, h3 = xg.shape
+    hidden = h3 // 3
+    zrow = jnp.zeros((1, b, hidden), jnp.float32)
+    ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
+    rev = lambda i: (t - 1 - i, 0, 0)
+    dxg, dhg = pl.pallas_call(
+        _bwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, h3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, h3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, h3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h3), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, h3), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h3), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=INTERPRET,
+    )(xg, w_h.astype(jnp.bfloat16), b_h[None, :], ys_prev, dy)
+    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dhg,
+                     preferred_element_type=jnp.float32)
+    dbh = jnp.sum(dhg, axis=(0, 1))
+    return dxg, dwh, dbh
+
+
+@jax.custom_vjp
+def gru_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray,
+                   b_h: jnp.ndarray) -> jnp.ndarray:
+    """Fused GRU recurrence: (T,B,3H) gate inputs (x@W_x+b_x), (H,3H) and
+    (3H,) recurrent weights -> (T,B,H) hidden states. Zero initial state."""
+    return _fwd(xg, w_h, b_h)
+
+
+def _vjp_fwd(xg, w_h, b_h):
+    ys = _fwd(xg, w_h, b_h)
+    return ys, (xg, w_h, b_h, ys)
+
+
+def _vjp_bwd(res, dy):
+    xg, w_h, b_h, ys = res
+    dxg, dwh, dbh = _bwd(xg, w_h, b_h, ys, dy)
+    return dxg, dwh.astype(w_h.dtype), dbh.astype(b_h.dtype)
+
+
+gru_recurrence.defvjp(_vjp_fwd, _vjp_bwd)

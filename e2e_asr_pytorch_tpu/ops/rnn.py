@@ -237,7 +237,40 @@ def gru_layer(params, x, state=None, reverse: bool = False,
     return jnp.swapaxes(ys, 0, 1), h
 
 
+def _use_pallas_gru(hidden: int) -> bool:
+    import os
+    if os.environ.get("E2E_ASR_PALLAS", "1") == "0":
+        return False
+    from e2e_asr_pytorch_tpu.ops.pallas.gru import gru_fits_vmem
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and gru_fits_vmem(hidden)
+
+
+def gru_layer_pallas(params, x: jnp.ndarray, reverse: bool = False,
+                     compute_dtype=jnp.float32) -> jnp.ndarray:
+    """One GRU direction via the fused Pallas recurrence (zero init)."""
+    from e2e_asr_pytorch_tpu.ops.pallas.gru import gru_recurrence
+    xg = jnp.einsum("btd,dh->bth", x.astype(compute_dtype),
+                    params["w_x"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32) + params["b_x"]
+    xg_t = jnp.swapaxes(xg, 0, 1)
+    if reverse:
+        xg_t = jnp.flip(xg_t, axis=0)
+    ys = gru_recurrence(xg_t, params["w_h"], params["b_h"])
+    if reverse:
+        ys = jnp.flip(ys, axis=0)
+    return jnp.swapaxes(ys, 0, 1)
+
+
 def bigru_layer(params_fw, params_bw, x, compute_dtype=jnp.float32):
+    if _use_pallas_gru(params_fw["w_h"].shape[0]):
+        y_fw = gru_layer_pallas(params_fw, x, compute_dtype=compute_dtype)
+        y_bw = gru_layer_pallas(params_bw, x, reverse=True,
+                                compute_dtype=compute_dtype)
+        return jnp.concatenate([y_fw, y_bw], axis=-1)
     y_fw, _ = gru_layer(params_fw, x, compute_dtype=compute_dtype)
     y_bw, _ = gru_layer(params_bw, x, reverse=True, compute_dtype=compute_dtype)
     return jnp.concatenate([y_fw, y_bw], axis=-1)

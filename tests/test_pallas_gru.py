@@ -1,0 +1,70 @@
+"""Pallas fused GRU recurrence vs the lax.scan/torch-compatible formulation
+(interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_pytorch_tpu.ops import rnn as R
+from e2e_asr_pytorch_tpu.ops.pallas import gru as PG
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(PG, "INTERPRET", True)
+
+
+def _params(rng, d, h):
+    return {
+        "w_x": jnp.asarray(rng.standard_normal((d, 3 * h)) * 0.3, jnp.float32),
+        "w_h": jnp.asarray(rng.standard_normal((h, 3 * h)) * 0.3, jnp.float32),
+        "b_x": jnp.asarray(rng.standard_normal(3 * h) * 0.1, jnp.float32),
+        "b_h": jnp.asarray(rng.standard_normal(3 * h) * 0.1, jnp.float32),
+    }
+
+
+def test_forward_matches_scan():
+    rng = np.random.default_rng(0)
+    d, h, t, b = 6, 8, 10, 3
+    p = _params(rng, d, h)
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    y_pallas = R.gru_layer_pallas(p, x, compute_dtype=jnp.bfloat16)
+    y_scan, _ = R.gru_layer(p, x, compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_scan),
+                               rtol=5e-2, atol=1e-2)
+
+
+def test_reverse_direction():
+    rng = np.random.default_rng(1)
+    p = _params(rng, 4, 8)
+    x = jnp.asarray(rng.standard_normal((2, 7, 4)), jnp.float32)
+    y_pallas = R.gru_layer_pallas(p, x, reverse=True,
+                                  compute_dtype=jnp.bfloat16)
+    y_scan, _ = R.gru_layer(p, x, reverse=True, compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_scan),
+                               rtol=5e-2, atol=1e-2)
+
+
+def test_grads_match_scan():
+    rng = np.random.default_rng(2)
+    d, h, t, b = 4, 8, 6, 2
+    p = _params(rng, d, h)
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+
+    def loss_p(p, x):
+        return jnp.sum((R.gru_layer_pallas(p, x, compute_dtype=jnp.bfloat16)
+                        - tgt) ** 2)
+
+    def loss_s(p, x):
+        return jnp.sum((R.gru_layer(p, x, compute_dtype=jnp.bfloat16)[0]
+                        - tgt) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(p, x)
+    gs = jax.grad(loss_s, argnums=(0, 1))(p, x)
+    for k in ("w_x", "w_h", "b_x", "b_h"):
+        np.testing.assert_allclose(np.asarray(gp[0][k]), np.asarray(gs[0][k]),
+                                   rtol=8e-2, atol=8e-2)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]),
+                               rtol=8e-2, atol=8e-2)
