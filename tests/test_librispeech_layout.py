@@ -1,0 +1,96 @@
+"""End-to-end over a real LibriSpeech directory layout (generated WAVs +
+*.trans.txt), through corpus indexing, the native loader, and the solver."""
+
+import copy
+import os
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from e2e_asr_pytorch_tpu.data import wav as W
+from e2e_asr_pytorch_tpu.data.librispeech import (load_librispeech,
+                                                  load_text_corpus,
+                                                  read_trans_text)
+from e2e_asr_pytorch_tpu.data.tokenizer import load_text_encoder
+from tests.test_integration import TINY_ASR, _paras
+
+WORDS = ["HELLO", "WORLD", "SPEECH", "MODEL", "AUDIO", "TEST"]
+
+
+@pytest.fixture(scope="module")
+def libri_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("LibriSpeech")
+    rng = np.random.default_rng(0)
+    for split, spk in [("train-clean-100", "19"), ("dev-clean", "84")]:
+        chap_dir = root / split / spk / "1"
+        chap_dir.mkdir(parents=True)
+        lines = []
+        for utt in range(6):
+            utt_id = "{}-1-{:04d}".format(spk, utt)
+            n = int(rng.integers(3000, 12000))
+            wave = 0.3 * np.sin(2 * np.pi * (300 + 50 * utt)
+                                * np.arange(n) / 16000)
+            W.write_wav(str(chap_dir / (utt_id + ".wav")),
+                        wave.astype(np.float32))
+            text = " ".join(rng.choice(WORDS, rng.integers(2, 5)))
+            lines.append("{} {}".format(utt_id, text))
+        (chap_dir / "{}-1.trans.txt".format(spk)).write_text(
+            "\n".join(lines) + "\n")
+    return str(root)
+
+
+def test_transcript_lookup(libri_root):
+    path = None
+    for dirpath, _, files in os.walk(libri_root):
+        for f in files:
+            if f.endswith(".wav"):
+                path = os.path.join(dirpath, f)
+                break
+    txt = read_trans_text(path)
+    assert all(w in WORDS for w in txt.split())
+
+
+def test_index_sorted_and_tokenized(libri_root):
+    tok = load_text_encoder("character",
+                            os.path.join(ROOT, "corpus", "librispeech_char.txt"))
+    ds = load_librispeech(libri_root, ["train-clean-100"], tok)
+    assert len(ds) == 6
+    # sorted by file size descending
+    sizes = [os.path.getsize(p) for p, _ in ds.items]
+    assert sizes == sorted(sizes, reverse=True)
+    # tokens end with eos
+    assert all(t[-1] == 1 for _, t in ds.items)
+    # subset truncation
+    ds2 = load_librispeech(libri_root, ["train-clean-100"], tok, subset=3)
+    assert len(ds2) == 3
+
+
+def test_text_corpus_for_lm(libri_root):
+    tok = load_text_encoder("character",
+                            os.path.join(ROOT, "corpus", "librispeech_char.txt"))
+    texts = load_text_corpus(libri_root, ["train-clean-100"], tok)
+    assert len(texts) == 6
+    assert all(t[-1] == 1 for t in texts)
+    # sorted by length descending
+    assert all(len(texts[i]) >= len(texts[i + 1]) for i in range(5))
+
+
+def test_train_solver_on_librispeech_layout(tmp_path, libri_root):
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["data"]["corpus"] = {"name": "librispeech", "path": libri_root,
+                             "train_split": ["train-clean-100"],
+                             "dev_split": ["dev-clean"], "bucketing": True,
+                             "batch_size": 3}
+    cfg["hparas"]["max_step"] = 2
+    cfg["hparas"]["valid_step"] = 2
+    s = Solver(cfg, _paras(tmp_path), "train")
+    s.load_data()
+    s.set_model()
+    s.exec()
+    assert s.step >= 2
+    assert os.path.exists(tmp_path / "ckpt" / "it" / "last_ctc_dev-clean.pth")
