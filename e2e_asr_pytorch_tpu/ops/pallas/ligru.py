@@ -1,0 +1,146 @@
+"""Fused liGRU recurrence as a Pallas TPU kernel.
+
+Light-GRU (reference: src/module.py:20-298): z = sigmoid(bn(Wx)+Uh),
+hcand = relu(bn(Wx)+Uh) * dropout_mask, h' = z*h + (1-z)*hcand. The
+batch-normalized feedforward term is precomputed over the whole sequence
+outside the kernel (exactly like the reference's TorchScript module), the
+time-shared recurrent dropout mask rides in VMEM, and the recurrence runs as
+one sequential grid with U resident in VMEM. Backward mirrors the LSTM/GRU
+kernels (recompute activations, emit dxg; dU reduces to one matmul outside).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from e2e_asr_pytorch_tpu.ops.pallas.lstm import _VMEM_WH_LIMIT
+
+INTERPRET = False
+
+
+def ligru_fits_vmem(h: int) -> bool:
+    return h * 2 * h * 2 <= _VMEM_WH_LIMIT  # bf16 w_h (H,2H)
+
+
+def _fwd_kernel(xg_ref, wh_ref, mask_ref, ys_ref, h_scr):
+    t = pl.program_id(0)
+    hidden = h_scr.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+
+    h_prev = h_scr[...]
+    hg = jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[...],
+                 preferred_element_type=jnp.float32)
+    g = xg_ref[0] + hg
+    z = jax.nn.sigmoid(g[..., :hidden])
+    cand = jax.nn.relu(g[..., hidden:]) * mask_ref[...]
+    h = z * h_prev + (1.0 - z) * cand
+    h_scr[...] = h
+    ys_ref[0] = h
+
+
+def _bwd_kernel(xg_ref, wh_ref, mask_ref, ys_prev_ref, dy_ref,
+                dxg_ref, dh_scr):
+    t = pl.program_id(0)
+    hidden = dh_scr.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+
+    h_prev = ys_prev_ref[0]
+    hg = jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[...],
+                 preferred_element_type=jnp.float32)
+    g = xg_ref[0] + hg
+    z = jax.nn.sigmoid(g[..., :hidden])
+    a = g[..., hidden:]
+    relu_a = jax.nn.relu(a)
+    cand = relu_a * mask_ref[...]
+
+    dh = dy_ref[0] + dh_scr[...]
+    dz = dh * (h_prev - cand)
+    dcand = dh * (1.0 - z)
+    da = dcand * mask_ref[...] * (a > 0)
+    dgz = dz * z * (1.0 - z)
+    dxg = jnp.concatenate([dgz, da], axis=-1)
+    dxg_ref[0] = dxg
+    dh_scr[...] = dh * z + jnp.dot(dxg.astype(wh_ref.dtype), wh_ref[...].T,
+                                   preferred_element_type=jnp.float32)
+
+
+def _fwd(xg, w_h, mask):
+    t, b, h2 = xg.shape
+    hidden = h2 // 2
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, h2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, h2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=INTERPRET,
+    )(xg, w_h.astype(jnp.bfloat16), mask)
+
+
+def _bwd(xg, w_h, mask, ys, dy):
+    t, b, h2 = xg.shape
+    hidden = h2 // 2
+    zrow = jnp.zeros((1, b, hidden), jnp.float32)
+    ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
+    rev = lambda i: (t - 1 - i, 0, 0)
+    dxg = pl.pallas_call(
+        _bwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, h2), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, h2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, h2), rev, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, h2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=INTERPRET,
+    )(xg, w_h.astype(jnp.bfloat16), mask, ys_prev, dy)
+    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg,
+                     preferred_element_type=jnp.float32)
+    dmask_terms = None  # mask is a constant (no grad needed)
+    return dxg, dwh
+
+
+@jax.custom_vjp
+def ligru_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray,
+                     mask: jnp.ndarray) -> jnp.ndarray:
+    """Fused liGRU recurrence: (T,B,2H) batch-normed gate inputs, (H,2H)
+    recurrent weights, (B,H) recurrent dropout mask -> (T,B,H)."""
+    return _fwd(xg, w_h, mask)
+
+
+def _vjp_fwd(xg, w_h, mask):
+    ys = _fwd(xg, w_h, mask)
+    return ys, (xg, w_h, mask, ys)
+
+
+def _vjp_bwd(res, dy):
+    xg, w_h, mask, ys = res
+    dxg, dwh = _bwd(xg, w_h, mask, ys, dy)
+    return dxg, dwh.astype(w_h.dtype), jnp.zeros_like(mask)
+
+
+ligru_recurrence.defvjp(_vjp_fwd, _vjp_bwd)

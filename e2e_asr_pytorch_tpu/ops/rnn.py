@@ -237,6 +237,18 @@ def gru_layer(params, x, state=None, reverse: bool = False,
     return jnp.swapaxes(ys, 0, 1), h
 
 
+def _use_pallas_ligru(hidden: int) -> bool:
+    import os
+    if os.environ.get("E2E_ASR_PALLAS", "1") == "0":
+        return False
+    from e2e_asr_pytorch_tpu.ops.pallas.ligru import ligru_fits_vmem
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and ligru_fits_vmem(hidden)
+
+
 def _use_pallas_gru(hidden: int) -> bool:
     import os
     if os.environ.get("E2E_ASR_PALLAS", "1") == "0":
@@ -315,6 +327,15 @@ def ligru_layer(params, x, reverse: bool = False, dropout: float = 0.0,
         drop_mask = jax.random.bernoulli(rng, keep, (b, hidden)).astype(jnp.float32) / keep
     else:
         drop_mask = jnp.ones((b, hidden), jnp.float32)
+
+    if _use_pallas_ligru(hidden):
+        from e2e_asr_pytorch_tpu.ops.pallas.ligru import ligru_recurrence
+        xs = jnp.flip(xg_t, axis=0) if reverse else xg_t
+        ys = ligru_recurrence(xs, params["w_h"], drop_mask)
+        h_last = ys[-1]
+        if reverse:
+            ys = jnp.flip(ys, axis=0)
+        return jnp.swapaxes(ys, 0, 1), h_last
 
     def step(h, xg_step):
         hg = jnp.dot(h.astype(compute_dtype), params["w_h"].astype(compute_dtype),

@@ -1,0 +1,60 @@
+"""Pallas fused liGRU recurrence vs the scan formulation (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_asr_pytorch_tpu.ops import rnn as R
+from e2e_asr_pytorch_tpu.ops.pallas import ligru as PLG
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(PLG, "INTERPRET", True)
+    # force the pallas branch inside ligru_layer despite running on CPU
+    monkeypatch.setattr(R, "_use_pallas_ligru", lambda h: True)
+
+
+def _params(rng, d, h):
+    return {
+        "w_x": jnp.asarray(rng.standard_normal((d, 2 * h)) * 0.3, jnp.float32),
+        "w_h": jnp.asarray(rng.standard_normal((h, 2 * h)) * 0.3, jnp.float32),
+        "bn_scale": jnp.ones((2 * h,), jnp.float32),
+        "bn_bias": jnp.zeros((2 * h,), jnp.float32),
+    }
+
+
+def test_forward_and_reverse_match_scan(monkeypatch):
+    rng = np.random.default_rng(0)
+    d, h, t, b = 5, 8, 9, 3
+    p = _params(rng, d, h)
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    for reverse in (False, True):
+        y_pal, _ = R.ligru_layer(p, x, reverse=reverse)
+        monkeypatch.setattr(R, "_use_pallas_ligru", lambda h: False)
+        y_scan, _ = R.ligru_layer(p, x, reverse=reverse)
+        monkeypatch.setattr(R, "_use_pallas_ligru", lambda h: True)
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_scan),
+                                   rtol=5e-2, atol=1e-2)
+
+
+def test_grads_match_scan(monkeypatch):
+    rng = np.random.default_rng(1)
+    d, h, t, b = 4, 8, 6, 2
+    p = _params(rng, d, h)
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+
+    def loss(p, x):
+        return jnp.sum((R.ligru_layer(p, x)[0] - tgt) ** 2)
+
+    g_pal = jax.grad(loss, argnums=(0, 1))(p, x)
+    monkeypatch.setattr(R, "_use_pallas_ligru", lambda h: False)
+    g_scan = jax.grad(loss, argnums=(0, 1))(p, x)
+    for k in ("w_x", "w_h", "bn_scale", "bn_bias"):
+        np.testing.assert_allclose(np.asarray(g_pal[0][k]),
+                                   np.asarray(g_scan[0][k]),
+                                   rtol=8e-2, atol=8e-2)
+    np.testing.assert_allclose(np.asarray(g_pal[1]), np.asarray(g_scan[1]),
+                               rtol=8e-2, atol=8e-2)
