@@ -3,9 +3,10 @@
 Same design as ops/pallas/lstm.py: one sequential grid over T with w_h (and
 b_h) resident in VMEM, the hoisted input projection xg = x@W_x + b_x
 streaming through the double-buffered pipeline, hidden state carried in VMEM
-scratch, and a reverse-grid backward kernel that recomputes the gate
-activations and emits both dxg (for dW_x/db_x) and dhg (for dW_h/db_h, the
-two differ in the candidate slot because n = tanh(xn + r*hn)); weight grads
+scratch, and a reverse-grid backward kernel that reuses the FORWARD-STREAMED
+recurrent projections hg (skipping a per-step recompute matmul) and emits
+both dxg (for dW_x/db_x) and dhg (for dW_h/db_h — the two differ in the
+candidate slot because n = tanh(xn + r*hn)); weight grads
 reduce to single MXU matmuls outside the kernel. jax.custom_vjp wires it up;
 gate order (r, z, n) matches torch.nn.GRU so the scan/golden tests transfer.
 """
@@ -33,7 +34,7 @@ def _gates(xg, hg, hidden):
     return r, z, n
 
 
-def _fwd_kernel(xg_ref, wh_ref, bh_ref, ys_ref, h_scr):
+def _fwd_kernel(xg_ref, wh_ref, bh_ref, ys_ref, hg_ref, h_scr):
     t = pl.program_id(0)
     hidden = h_scr.shape[-1]
 
@@ -48,9 +49,10 @@ def _fwd_kernel(xg_ref, wh_ref, bh_ref, ys_ref, h_scr):
     h = (1.0 - z) * n + z * h_prev
     h_scr[...] = h
     ys_ref[0] = h
+    hg_ref[0] = hg  # streamed out so the backward skips the recompute matmul
 
 
-def _bwd_kernel(xg_ref, wh_ref, bh_ref, ys_prev_ref, dy_ref,
+def _bwd_kernel(xg_ref, wh_ref, hg_ref, ys_prev_ref, dy_ref,
                 dxg_ref, dhg_ref, dh_scr):
     t = pl.program_id(0)
     hidden = dh_scr.shape[-1]
@@ -60,8 +62,7 @@ def _bwd_kernel(xg_ref, wh_ref, bh_ref, ys_prev_ref, dy_ref,
         dh_scr[...] = jnp.zeros_like(dh_scr)
 
     h_prev = ys_prev_ref[0]
-    hg = jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[...],
-                 preferred_element_type=jnp.float32) + bh_ref[...]
+    hg = hg_ref[0]
     r, z, n = _gates(xg_ref[0], hg, hidden)
     hn = hg[..., 2 * hidden:]
 
@@ -84,7 +85,7 @@ def _bwd_kernel(xg_ref, wh_ref, bh_ref, ys_prev_ref, dy_ref,
 def _fwd(xg, w_h, b_h):
     t, b, h3 = xg.shape
     hidden = h3 // 3
-    ys = pl.pallas_call(
+    ys, hgs = pl.pallas_call(
         _fwd_kernel,
         grid=(t,),
         in_specs=[
@@ -95,16 +96,23 @@ def _fwd(xg, w_h, b_h):
             pl.BlockSpec((1, h3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h3), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=INTERPRET,
     )(xg, w_h.astype(jnp.bfloat16), b_h[None, :])
-    return ys
+    return ys, hgs
 
 
-def _bwd(xg, w_h, b_h, ys, dy):
+def _bwd(xg, w_h, hgs, ys, dy):
     t, b, h3 = xg.shape
     hidden = h3 // 3
     zrow = jnp.zeros((1, b, hidden), jnp.float32)
@@ -117,7 +125,7 @@ def _bwd(xg, w_h, b_h, ys, dy):
             pl.BlockSpec((1, b, h3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, h3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
         ],
@@ -131,7 +139,7 @@ def _bwd(xg, w_h, b_h, ys, dy):
         ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=INTERPRET,
-    )(xg, w_h.astype(jnp.bfloat16), b_h[None, :], ys_prev, dy)
+    )(xg, w_h.astype(jnp.bfloat16), hgs, ys_prev, dy)
     dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dhg,
                      preferred_element_type=jnp.float32)
     dbh = jnp.sum(dhg, axis=(0, 1))
@@ -143,17 +151,17 @@ def gru_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray,
                    b_h: jnp.ndarray) -> jnp.ndarray:
     """Fused GRU recurrence: (T,B,3H) gate inputs (x@W_x+b_x), (H,3H) and
     (3H,) recurrent weights -> (T,B,H) hidden states. Zero initial state."""
-    return _fwd(xg, w_h, b_h)
+    return _fwd(xg, w_h, b_h)[0]
 
 
 def _vjp_fwd(xg, w_h, b_h):
-    ys = _fwd(xg, w_h, b_h)
-    return ys, (xg, w_h, b_h, ys)
+    ys, hgs = _fwd(xg, w_h, b_h)
+    return ys, (xg, w_h, b_h, hgs, ys)
 
 
 def _vjp_bwd(res, dy):
-    xg, w_h, b_h, ys = res
-    dxg, dwh, dbh = _bwd(xg, w_h, b_h, ys, dy)
+    xg, w_h, b_h, hgs, ys = res
+    dxg, dwh, dbh = _bwd(xg, w_h, hgs, ys, dy)
     return dxg, dwh.astype(w_h.dtype), dbh.astype(b_h.dtype)
 
 

@@ -11,10 +11,10 @@ one pallas_call with a sequential grid over T, so:
     pallas's automatic double-buffered pipeline;
   * h/c persist across grid steps in VMEM scratch (TPU grids execute
     sequentially on a core, so scratch is a legal loop carry);
-  * the backward pass is a second kernel walking the grid in reverse,
-    recomputing gates from (xg, h_{t-1}) and accumulating dW_h in a VMEM
-    scratch accumulator (one HBM write at the end) — wired up with
-    jax.custom_vjp.
+  * the forward also STREAMS OUT the gate pre-activations, so the backward
+    kernel (a second pallas_call walking the grid in reverse) does only the
+    dh-chain matmul per step instead of recomputing h@W_h; dW_h reduces to
+    one MXU matmul outside the kernel. Wired up with jax.custom_vjp.
 
 Falls back transparently to the lax.scan path (ops/rnn.py) when shapes don't
 fit VMEM or on non-TPU backends.
@@ -38,17 +38,15 @@ def _fits_vmem(h: int) -> bool:
     return h * 4 * h * 2 <= _VMEM_WH_LIMIT  # bf16 w_h
 
 
-def _gate_math(gates, c_prev, hidden):
+def _activations(gates, hidden):
     i = jax.nn.sigmoid(gates[..., :hidden])
     f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
     g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
     o = jax.nn.sigmoid(gates[..., 3 * hidden:])
-    c = f * c_prev + i * g
-    h = o * jnp.tanh(c)
-    return h, c, (i, f, g, o)
+    return i, f, g, o
 
 
-def _fwd_kernel(xg_ref, wh_ref, ys_ref, cs_ref, h_scr, c_scr):
+def _fwd_kernel(xg_ref, wh_ref, ys_ref, cs_ref, gates_ref, h_scr, c_scr):
     t = pl.program_id(0)
     hidden = h_scr.shape[-1]
 
@@ -61,16 +59,19 @@ def _fwd_kernel(xg_ref, wh_ref, ys_ref, cs_ref, h_scr, c_scr):
     c_prev = c_scr[...]
     gates = xg_ref[0] + jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[...],
                                 preferred_element_type=jnp.float32)
-    h, c, _ = _gate_math(gates, c_prev, hidden)
+    i, f, g, o = _activations(gates, hidden)
+    c = f * c_prev + i * g
+    h = o * jnp.tanh(c)
     h_scr[...] = h
     c_scr[...] = c
     ys_ref[0] = h
     cs_ref[0] = c
+    gates_ref[0] = gates
 
 
-def _bwd_kernel(xg_ref, wh_ref, ys_prev_ref, cs_prev_ref, cs_ref, dy_ref,
+def _bwd_kernel(gates_ref, wh_ref, cs_prev_ref, cs_ref, dy_ref,
                 dxg_ref, dh_scr, dc_scr):
-    t = pl.program_id(0)          # 0 .. T-1, walking REVERSED time
+    t = pl.program_id(0)          # walking REVERSED time
     hidden = dh_scr.shape[-1]
 
     @pl.when(t == 0)
@@ -78,19 +79,9 @@ def _bwd_kernel(xg_ref, wh_ref, ys_prev_ref, cs_prev_ref, cs_ref, dy_ref,
         dh_scr[...] = jnp.zeros_like(dh_scr)
         dc_scr[...] = jnp.zeros_like(dc_scr)
 
-    # h_{t-1}, c_{t-1} come in via index-mapped blocks (zeros block at t=0,
-    # handled by the caller padding)
-    h_prev = ys_prev_ref[0]
     c_prev = cs_prev_ref[0]
     c_t = cs_ref[0]
-
-    # recompute gate activations
-    gates = xg_ref[0] + jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[...],
-                                preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[..., :hidden])
-    f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
-    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
-    o = jax.nn.sigmoid(gates[..., 3 * hidden:])
+    i, f, g, o = _activations(gates_ref[0], hidden)
     tanh_c = jnp.tanh(c_t)
 
     dh = dy_ref[0] + dh_scr[...]
@@ -112,14 +103,13 @@ def _bwd_kernel(xg_ref, wh_ref, ys_prev_ref, cs_prev_ref, cs_ref, dy_ref,
 
 
 def _lstm_fwd_pallas(xg: jnp.ndarray, w_h: jnp.ndarray):
-    """xg: (T,B,4H) f32, w_h: (H,4H). Returns ys (T,B,H), cs (T,B,H)."""
+    """xg: (T,B,4H) f32, w_h: (H,4H). Returns (ys, cs, gates)."""
     t, b, h4 = xg.shape
     hidden = h4 // 4
     wh_c = w_h.astype(jnp.bfloat16)
-    grid = (t,)
-    ys, cs = pl.pallas_call(
+    ys, cs, gates = pl.pallas_call(
         _fwd_kernel,
-        grid=grid,
+        grid=(t,),
         in_specs=[
             pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -131,10 +121,13 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_h: jnp.ndarray):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h4), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, hidden), jnp.float32),
@@ -142,14 +135,13 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_h: jnp.ndarray):
         ],
         interpret=INTERPRET,
     )(xg, wh_c)
-    return ys, cs
+    return ys, cs, gates
 
 
-def _lstm_bwd_pallas(xg, w_h, ys, cs, dy):
-    t, b, h4 = xg.shape
+def _lstm_bwd_pallas(w_h, ys, cs, gates, dy):
+    t, b, h4 = gates.shape
     hidden = h4 // 4
     wh_c = w_h.astype(jnp.bfloat16)
-    # shift sequences so block t-1 is addressable: prepend a zeros row
     zrow = jnp.zeros((1, b, hidden), jnp.float32)
     ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
     cs_prev = jnp.concatenate([zrow, cs[:-1]], axis=0)
@@ -159,10 +151,9 @@ def _lstm_bwd_pallas(xg, w_h, ys, cs, dy):
         _bwd_kernel,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),     # xg
+            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),     # gates
             pl.BlockSpec((hidden, h4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),                      # w_h
-            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM), # h_{t-1}
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM), # c_{t-1}
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM), # c_t
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM), # dy
@@ -174,9 +165,8 @@ def _lstm_bwd_pallas(xg, w_h, ys, cs, dy):
             pltpu.VMEM((b, hidden), jnp.float32),
         ],
         interpret=INTERPRET,
-    )(xg, wh_c, ys_prev, cs_prev, cs, dy)
-    # dW_h = sum_t h_{t-1}^T dgates_t — ONE big MXU matmul outside the
-    # kernel instead of a 26 MB f32 VMEM accumulator inside it
+    )(gates, wh_c, cs_prev, cs, dy)
+    # dW_h = sum_t h_{t-1}^T dgates_t — ONE big MXU matmul outside the kernel
     dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg,
                      preferred_element_type=jnp.float32)
     return dxg, dwh
@@ -186,18 +176,18 @@ def _lstm_bwd_pallas(xg, w_h, ys, cs, dy):
 def lstm_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray) -> jnp.ndarray:
     """Fused LSTM recurrence: (T,B,4H) gate inputs + (H,4H) recurrent
     weights -> (T,B,H) hidden states. Zero initial state."""
-    ys, _ = _lstm_fwd_pallas(xg, w_h)
+    ys, _, _ = _lstm_fwd_pallas(xg, w_h)
     return ys
 
 
 def _rec_fwd(xg, w_h):
-    ys, cs = _lstm_fwd_pallas(xg, w_h)
-    return ys, (xg, w_h, ys, cs)
+    ys, cs, gates = _lstm_fwd_pallas(xg, w_h)
+    return ys, (w_h, ys, cs, gates)
 
 
 def _rec_bwd(res, dy):
-    xg, w_h, ys, cs = res
-    dxg, dwh = _lstm_bwd_pallas(xg, w_h, ys, cs, dy)
+    w_h, ys, cs, gates = res
+    dxg, dwh = _lstm_bwd_pallas(w_h, ys, cs, gates, dy)
     return dxg, dwh.astype(w_h.dtype)
 
 
