@@ -25,7 +25,7 @@ def ligru_fits_vmem(h: int) -> bool:
     return h * 2 * h * 2 <= _VMEM_WH_LIMIT  # bf16 w_h (H,2H)
 
 
-def _fwd_kernel(xg_ref, wh_ref, mask_ref, ys_ref, h_scr):
+def _fwd_kernel(xg_ref, wh_ref, mask_ref, ys_ref, hg_ref, h_scr):
     t = pl.program_id(0)
     hidden = h_scr.shape[-1]
 
@@ -36,6 +36,7 @@ def _fwd_kernel(xg_ref, wh_ref, mask_ref, ys_ref, h_scr):
     h_prev = h_scr[...]
     hg = jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[...],
                  preferred_element_type=jnp.float32)
+    hg_ref[0] = hg  # streamed out: backward skips the recompute matmul
     g = xg_ref[0] + hg
     z = jax.nn.sigmoid(g[..., :hidden])
     cand = jax.nn.relu(g[..., hidden:]) * mask_ref[...]
@@ -44,7 +45,7 @@ def _fwd_kernel(xg_ref, wh_ref, mask_ref, ys_ref, h_scr):
     ys_ref[0] = h
 
 
-def _bwd_kernel(xg_ref, wh_ref, mask_ref, ys_prev_ref, dy_ref,
+def _bwd_kernel(xg_ref, wh_ref, mask_ref, hg_ref, ys_prev_ref, dy_ref,
                 dxg_ref, dh_scr):
     t = pl.program_id(0)
     hidden = dh_scr.shape[-1]
@@ -54,9 +55,7 @@ def _bwd_kernel(xg_ref, wh_ref, mask_ref, ys_prev_ref, dy_ref,
         dh_scr[...] = jnp.zeros_like(dh_scr)
 
     h_prev = ys_prev_ref[0]
-    hg = jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[...],
-                 preferred_element_type=jnp.float32)
-    g = xg_ref[0] + hg
+    g = xg_ref[0] + hg_ref[0]
     z = jax.nn.sigmoid(g[..., :hidden])
     a = g[..., hidden:]
     relu_a = jax.nn.relu(a)
@@ -76,7 +75,7 @@ def _bwd_kernel(xg_ref, wh_ref, mask_ref, ys_prev_ref, dy_ref,
 def _fwd(xg, w_h, mask):
     t, b, h2 = xg.shape
     hidden = h2 // 2
-    return pl.pallas_call(
+    ys, hgs = pl.pallas_call(
         _fwd_kernel,
         grid=(t,),
         in_specs=[
@@ -87,15 +86,23 @@ def _fwd(xg, w_h, mask):
             pl.BlockSpec((b, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h2), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=INTERPRET,
     )(xg, w_h.astype(jnp.bfloat16), mask)
+    return ys, hgs
 
 
-def _bwd(xg, w_h, mask, ys, dy):
+def _bwd(xg, w_h, mask, hgs, ys, dy):
     t, b, h2 = xg.shape
     hidden = h2 // 2
     zrow = jnp.zeros((1, b, hidden), jnp.float32)
@@ -110,6 +117,7 @@ def _bwd(xg, w_h, mask, ys, dy):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h2), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
         ],
@@ -117,7 +125,7 @@ def _bwd(xg, w_h, mask, ys, dy):
         out_shape=jax.ShapeDtypeStruct((t, b, h2), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=INTERPRET,
-    )(xg, w_h.astype(jnp.bfloat16), mask, ys_prev, dy)
+    )(xg, w_h.astype(jnp.bfloat16), mask, hgs, ys_prev, dy)
     dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg,
                      preferred_element_type=jnp.float32)
     dmask_terms = None  # mask is a constant (no grad needed)
@@ -129,17 +137,17 @@ def ligru_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray,
                      mask: jnp.ndarray) -> jnp.ndarray:
     """Fused liGRU recurrence: (T,B,2H) batch-normed gate inputs, (H,2H)
     recurrent weights, (B,H) recurrent dropout mask -> (T,B,H)."""
-    return _fwd(xg, w_h, mask)
+    return _fwd(xg, w_h, mask)[0]
 
 
 def _vjp_fwd(xg, w_h, mask):
-    ys = _fwd(xg, w_h, mask)
-    return ys, (xg, w_h, mask, ys)
+    ys, hgs = _fwd(xg, w_h, mask)
+    return ys, (xg, w_h, mask, hgs, ys)
 
 
 def _vjp_bwd(res, dy):
-    xg, w_h, mask, ys = res
-    dxg, dwh = _bwd(xg, w_h, mask, ys, dy)
+    xg, w_h, mask, hgs, ys = res
+    dxg, dwh = _bwd(xg, w_h, mask, hgs, ys, dy)
     return dxg, dwh.astype(w_h.dtype), jnp.zeros_like(mask)
 
 
