@@ -1,0 +1,175 @@
+"""Pure-CTC prefix beam search (batched, on device).
+
+The reference's BeamDecoder asserts an attention decoder and leaves pure CTC
+decoding as a TODO (reference: src/decode.py:26-27 "ToDo : implement pure
+ctc decode"); CTC-only models (ctc_weight: 1.0) can only be greedy-decoded
+there. This implements the standard CTC prefix beam search (Graves 2012 /
+Hannun 2014) as one jitted lax.scan over encoder frames with a beam axis:
+
+  * each prefix carries (p_blank, p_nonblank) in log space; the "stay" path
+    folds the blank-extension and the repeat-without-blank into slot 0, and
+    extensions use p_b (after blank) vs logaddexp(p_b, p_nb) for c == last;
+  * per step each beam proposes its top-C symbol extensions plus the stay
+    case, and a global top-K over K*(C+1) keeps the beam fixed-shape;
+  * optional LM shallow fusion adds lm_weight * logP_LM(c | prefix) on
+    extension (token-level fusion, like the attention beam decoder);
+  * cross-parent prefix merging is not performed (fixed-shape approximation
+    common to vectorized implementations); the blank/repeat merge — the
+    dominant one — is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_pytorch_tpu.models import lm as LM
+
+LOG_ZERO = -1e9
+NEG_INF = -1e30
+
+
+class CTCBeamConfig(NamedTuple):
+    beam_size: int
+    cand_size: int = 8        # symbol extensions proposed per beam per frame
+    max_tokens: int = 0       # output token buffer length
+    lm_weight: float = 0.0
+
+    @property
+    def apply_lm(self) -> bool:
+        return self.lm_weight > 0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lm_spec",
+                                             "compute_dtype"))
+def ctc_beam_decode(ctc_logp: jnp.ndarray, enc_len: jnp.ndarray,
+                    cfg: CTCBeamConfig, lm_params: Optional[Dict] = None,
+                    lm_spec: Optional[LM.LMSpec] = None,
+                    compute_dtype=jnp.float32):
+    """Decode a batch of CTC posteriors.
+
+    ctc_logp: (B,T,V) log-softmax CTC output (blank = 0).
+    Returns dict: tokens (B,K,L) best-first, scores (B,K), out_len (B,K).
+    """
+    b, t_max, v = ctc_logp.shape
+    k = cfg.beam_size
+    c = cfg.cand_size
+    l_max = cfg.max_tokens
+
+    tokens = jnp.zeros((b, k, l_max), jnp.int32)
+    lens = jnp.zeros((b, k), jnp.int32)
+    # empty prefix: p_b = 0 (prob 1 of emitting nothing), others dead
+    p_b = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
+    p_nb = jnp.full((b, k), NEG_INF)
+    alive = jnp.zeros((b, k), bool).at[:, 0].set(True)
+
+    if cfg.apply_lm:
+        lm_state = jax.tree.map(lambda x: jnp.repeat(x[:, :, None], k, axis=2),
+                                LM.lm_zero_state(lm_spec, b))
+    else:
+        lm_state = None
+
+    def step(carry, t):
+        tokens, lens, p_b, p_nb, alive, lm_state = carry
+        lp = ctc_logp[:, t, :]                                  # B,V
+        lp_k = lp[:, None, :]                                   # B,1,V
+        active = (t < enc_len)[:, None]                         # B,1
+
+        last_idx = jnp.maximum(lens - 1, 0)[:, :, None]
+        last_tok = jnp.where(lens > 0,
+                             jnp.take_along_axis(tokens, last_idx, 2)[:, :, 0],
+                             -1)                                # B,K
+
+        # ---- stay case (same prefix): blank path + repeat path ----
+        total = jnp.logaddexp(p_b, p_nb)
+        stay_b = total + lp[:, None, 0]
+        lp_last = jnp.take_along_axis(
+            lp_k.repeat(k, 1), jnp.maximum(last_tok, 0)[:, :, None],
+            axis=2)[:, :, 0]
+        stay_nb = jnp.where(last_tok >= 0, p_nb + lp_last, NEG_INF)
+        stay_score = jnp.logaddexp(stay_b, stay_nb)
+        stay_score = jnp.where(alive, stay_score, NEG_INF)
+
+        # ---- extension candidates: per-beam top-C non-blank symbols ----
+        lp_masked = lp.at[:, 0].set(NEG_INF)                    # no blank ext
+        if cfg.apply_lm:
+            lm_state_f = jax.tree.map(
+                lambda x: x.reshape(x.shape[0], b * k, x.shape[-1]), lm_state)
+            lm_logits, lm_state_f = LM.lm_step(
+                lm_params, lm_spec, jnp.maximum(last_tok, 0).reshape(b * k),
+                lm_state_f, compute_dtype)
+            lm_lp = jax.nn.log_softmax(lm_logits, -1).reshape(b, k, v)
+            ext_base = lp_masked[:, None, :] + cfg.lm_weight * lm_lp
+            new_lm_state = jax.tree.map(
+                lambda x: x.reshape(x.shape[0], b, k, x.shape[-1]), lm_state_f)
+        else:
+            ext_base = jnp.broadcast_to(lp_masked[:, None, :], (b, k, v))
+            new_lm_state = lm_state
+        _, cand = jax.lax.top_k(ext_base, c)                    # B,K,C
+        cand_lp = jnp.take_along_axis(ext_base, cand, 2)        # B,K,C
+
+        is_last = cand == last_tok[:, :, None]
+        base = jnp.where(is_last, p_b[:, :, None], total[:, :, None])
+        ext_nb = base + cand_lp                                 # B,K,C
+        ext_nb = jnp.where(alive[:, :, None], ext_nb, NEG_INF)
+        # can't grow past the token buffer
+        ext_nb = jnp.where((lens < l_max)[:, :, None], ext_nb, NEG_INF)
+
+        # ---- global top-K over (stay | extends) = K*(1+C) slots ----
+        all_scores = jnp.concatenate(
+            [stay_score[:, :, None], ext_nb], axis=2).reshape(b, k * (1 + c))
+        sel_score, sel = jax.lax.top_k(all_scores, k)
+        parent = (sel // (1 + c)).astype(jnp.int32)
+        slot = sel % (1 + c)                                    # 0 = stay
+        is_stay = slot == 0
+
+        par = lambda x: jnp.take_along_axis(x, parent, axis=1)
+        par_tokens = jnp.take_along_axis(
+            tokens, parent[:, :, None].repeat(l_max, 2), axis=1)
+        par_lens = par(lens)
+        new_tok = jnp.take_along_axis(
+            jnp.take_along_axis(cand, parent[:, :, None].repeat(c, 2), 1)
+            .reshape(b, k, c),
+            jnp.maximum(slot - 1, 0)[:, :, None], axis=2)[:, :, 0]
+
+        onehot = (jnp.arange(l_max)[None, None, :] ==
+                  par_lens[:, :, None]) & (~is_stay)[:, :, None]
+        new_tokens = jnp.where(onehot, new_tok[:, :, None], par_tokens)
+        new_lens = par_lens + (~is_stay)
+
+        # stay keeps (p_b', p_nb'); extension starts fresh: p_b = -inf
+        new_p_b = jnp.where(is_stay, par(stay_b), NEG_INF)
+        new_p_nb = jnp.where(is_stay, par(stay_nb), sel_score)
+        new_alive = sel_score > NEG_INF / 2
+
+        if cfg.apply_lm:
+            lm_next = jax.tree.map(
+                lambda x: jnp.take_along_axis(
+                    x, parent[None, :, :, None], axis=2), new_lm_state)
+        else:
+            lm_next = lm_state
+
+        # frames past enc_len change nothing
+        keep = lambda new, old: jnp.where(
+            active.reshape((b,) + (1,) * (new.ndim - 1)), new, old)
+        carry = (keep(new_tokens, tokens), keep(new_lens, lens),
+                 keep(new_p_b, p_b), keep(new_p_nb, p_nb),
+                 keep(new_alive, alive),
+                 (jax.tree.map(lambda n, o: keep(n, o), lm_next, lm_state)
+                  if cfg.apply_lm else lm_state))
+        return carry, None
+
+    (tokens, lens, p_b, p_nb, alive, _), _ = jax.lax.scan(
+        step, (tokens, lens, p_b, p_nb, alive, lm_state), jnp.arange(t_max))
+
+    scores = jnp.where(alive, jnp.logaddexp(p_b, p_nb), NEG_INF)
+    order = jnp.argsort(-scores, axis=1)
+    return {
+        "tokens": jnp.take_along_axis(tokens,
+                                      order[:, :, None].repeat(l_max, 2), 1),
+        "scores": jnp.take_along_axis(scores, order, 1),
+        "out_len": jnp.take_along_axis(lens, order, 1),
+    }

@@ -153,15 +153,36 @@ class Solver(BaseSolver):
                     f.write("\t".join([name, hyp, truth]) + "\n")
             return
 
-        cfg = BeamConfig(
-            beam_size=self.beam_size, min_len_ratio=self.min_len_ratio,
-            max_len_ratio=self.max_len_ratio, ctc_weight=self.dec_ctc_weight,
-            lm_weight=self.lm_weight,
-            max_steps=self._max_steps_for(int(wav.shape[1])))
-        out = beam_decode(self.params, self.spec, cfg, feat, feat_len,
-                          self.lm_params, self.lm_spec, emb_reg=self.emb_reg,
-                          emb_params=emb_params,
-                          compute_dtype=self.compute_dtype)
+        if not self.spec.enable_att:
+            # pure-CTC beam search (the reference leaves this as a TODO and
+            # asserts an attention decoder, src/decode.py:26-27)
+            from e2e_asr_pytorch_tpu.decode.ctc_beam import (CTCBeamConfig,
+                                                             ctc_beam_decode)
+            from e2e_asr_pytorch_tpu.models.asr import ctc_log_probs
+            from e2e_asr_pytorch_tpu.models.encoder import encoder_apply
+            enc_feat, enc_len = encoder_apply(
+                self.params["encoder"], self.spec.encoder, feat, feat_len,
+                train=False, compute_dtype=self.compute_dtype)
+            logp = ctc_log_probs(self.params, self.spec, enc_feat,
+                                 self.compute_dtype)
+            ccfg = CTCBeamConfig(
+                beam_size=self.beam_size,
+                cand_size=min(self.vocab_size - 1, 8),
+                max_tokens=self._max_steps_for(int(wav.shape[1])),
+                lm_weight=self.lm_weight)
+            out = ctc_beam_decode(logp, enc_len, ccfg, self.lm_params,
+                                  self.lm_spec,
+                                  compute_dtype=self.compute_dtype)
+        else:
+            cfg = BeamConfig(
+                beam_size=self.beam_size, min_len_ratio=self.min_len_ratio,
+                max_len_ratio=self.max_len_ratio,
+                ctc_weight=self.dec_ctc_weight, lm_weight=self.lm_weight,
+                max_steps=self._max_steps_for(int(wav.shape[1])))
+            out = beam_decode(self.params, self.spec, cfg, feat, feat_len,
+                              self.lm_params, self.lm_spec,
+                              emb_reg=self.emb_reg, emb_params=emb_params,
+                              compute_dtype=self.compute_dtype)
         tokens = np.asarray(out["tokens"])      # B,K,L
         with open(out_path, "a") as f, open(beam_path, "a") as fb:
             for bi, (name, truth) in enumerate(zip(names, truths)):

@@ -1,0 +1,96 @@
+"""Pure-CTC prefix beam search vs a brute-force enumeration oracle."""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_pytorch_tpu.decode.ctc_beam import CTCBeamConfig, ctc_beam_decode
+
+
+def ctc_label_logprob(logp, seq):
+    """Exact log P(seq | logp) via the standard forward DP. logp (T,V)."""
+    t_max, _ = logp.shape
+    ext = [0]
+    for s in seq:
+        ext += [s, 0]
+    n = len(ext)
+    alpha = np.full(n, -np.inf)
+    alpha[0] = logp[0, 0]
+    if n > 1:
+        alpha[1] = logp[0, ext[1]]
+    for t in range(1, t_max):
+        new = np.full(n, -np.inf)
+        for s in range(n):
+            acc = alpha[s]
+            if s >= 1:
+                acc = np.logaddexp(acc, alpha[s - 1])
+            if s >= 2 and ext[s] != 0 and ext[s] != ext[s - 2]:
+                acc = np.logaddexp(acc, alpha[s - 2])
+            new[s] = acc + logp[t, ext[s]]
+        alpha = new
+    if n == 1:
+        return alpha[0]
+    return np.logaddexp(alpha[-1], alpha[-2])
+
+
+def _best_by_enumeration(logp, max_len, vocab):
+    best, best_lp = (), -np.inf
+    for l in range(max_len + 1):
+        for seq in itertools.product(range(1, vocab), repeat=l):
+            lp = ctc_label_logprob(logp, list(seq))
+            if lp > best_lp:
+                best, best_lp = seq, lp
+    return list(best), best_lp
+
+
+def test_ctc_beam_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    t, v = 6, 4
+    gaps = []
+    for trial in range(5):
+        x = rng.standard_normal((t, v)) * 2.0
+        logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+        ref_seq, ref_lp = _best_by_enumeration(logp, t, v)
+
+        cfg = CTCBeamConfig(beam_size=8, cand_size=v - 1, max_tokens=t)
+        out = ctc_beam_decode(jnp.asarray(logp[None], jnp.float32),
+                              jnp.asarray([t]), cfg)
+        n = int(out["out_len"][0, 0])
+        hyp = np.asarray(out["tokens"])[0, 0, :n].tolist()
+        exact_hyp = ctc_label_logprob(logp, hyp)
+        # without cross-parent merging the tracked score UNDERestimates the
+        # exact sequence probability, never overestimates
+        assert float(out["scores"][0, 0]) <= exact_hyp + 1e-3
+        # and the chosen hypothesis is (near-)optimal vs exhaustive search
+        gaps.append(ref_lp - exact_hyp)
+        assert ref_lp - exact_hyp < 0.8
+    assert np.median(gaps) < 0.2
+
+
+def test_ctc_beam_scores_are_valid_probabilities():
+    rng = np.random.default_rng(1)
+    t, v, b = 10, 6, 3
+    x = rng.standard_normal((b, t, v)).astype(np.float32)
+    logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    cfg = CTCBeamConfig(beam_size=4, cand_size=3, max_tokens=8)
+    out = ctc_beam_decode(jnp.asarray(logp), jnp.asarray([10, 7, 4]), cfg)
+    s = np.asarray(out["scores"])
+    assert (s[:, 0] <= 1e-6).all()           # log-probs
+    assert (np.diff(s, axis=1) <= 1e-6).all()  # sorted
+    # each hypothesis score matches the exact DP for that label sequence
+    # (stay/extend bookkeeping is exact without cross-parent merges)
+    for bi, t_len in enumerate([10, 7, 4]):
+        n = int(out["out_len"][bi, 0])
+        seq = np.asarray(out["tokens"])[bi, 0, :n].tolist()
+        exact = ctc_label_logprob(logp[bi, :t_len], seq)
+        assert s[bi, 0] <= exact + 1e-3
+
+
+def test_ctc_beam_empty_and_short_inputs():
+    # frames all favoring blank -> best hypothesis is the empty sequence
+    logp = np.full((1, 5, 4), -5.0, np.float32)
+    logp[:, :, 0] = -0.01
+    cfg = CTCBeamConfig(beam_size=3, cand_size=3, max_tokens=4)
+    out = ctc_beam_decode(jnp.asarray(logp), jnp.asarray([5]), cfg)
+    assert int(out["out_len"][0, 0]) == 0

@@ -159,3 +159,33 @@ def test_beam_decode_with_lm_and_oracle_eval(trained):
     wer, cer = eval_tool.main(["--file", str(out / out_csv[0])])
     # oracle across beams can't be worse than top-1
     assert owers <= wer + 1e-9
+
+
+def test_ctc_only_beam_decode_via_test_solver(trained, tmp_path):
+    """CTC-only model (ctc_weight 1.0) + beam > 1 routes to the pure-CTC
+    prefix beam search (the reference's missing capability)."""
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver as ASRSolver
+    from e2e_asr_pytorch_tpu.train.test_asr import Solver as TestSolver
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["model"]["ctc_weight"] = 1.0
+    cfg["hparas"]["max_step"] = 2
+    cfg["hparas"]["valid_step"] = 2
+    paras = _paras(tmp_path)
+    s = ASRSolver(copy.deepcopy(cfg), paras, "train")
+    s.load_data()
+    s.set_model()
+    s.exec()
+
+    tcfg = copy.deepcopy(cfg)
+    tcfg["src"] = {"config": "unused",
+                   "ckpt": str(tmp_path / "ckpt" / "it" / "last_ctc_dev.pth")}
+    tcfg["decode"] = {"beam_size": 3, "ctc_weight": 1.0, "min_len_ratio": 0.0,
+                      "max_len_ratio": 0.3, "lm_weight": 0.0}
+    tcfg["data"]["corpus"]["test_split"] = ["test"]
+    ts = TestSolver(tcfg, paras, "test")
+    ts.load_data()
+    ts.set_model()
+    ts.exec()
+    beam_files = [f for f in os.listdir(tmp_path / "out")
+                  if f.endswith("_test_beam.csv")]
+    assert beam_files
