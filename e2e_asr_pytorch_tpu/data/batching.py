@@ -56,6 +56,10 @@ class ShapeBuckets:
         return min(n_samples, cap_s), min(n_tokens, cap_l)
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def _decode(item) -> np.ndarray:
     wav = item
     if isinstance(wav, str):
@@ -76,10 +80,18 @@ class AudioBatchIterator:
     def __init__(self, dataset, batch_size: int, mode: str = "train",
                  shuffle: Optional[bool] = None, drop_last: Optional[bool] = None,
                  buckets: Optional[ShapeBuckets] = None, seed: int = 0,
-                 half_batch: bool = True, time_aug: bool = False):
+                 half_batch: bool = True, time_aug: bool = False,
+                 pad_multiple: int = 1, njobs: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.mode = mode
+        # --njobs parity (reference src/data.py:127): number of host decode
+        # workers; 0 = synchronous single worker
+        self.njobs = max(0, njobs)
+        # batch axis padded up to a multiple of the mesh 'data' axis so the
+        # batch always shards evenly; padding rows replicate row 0 (real data,
+        # so no NaN pathways) and carry utt_w = 0 (excluded from every loss)
+        self.pad_multiple = max(1, pad_multiple)
         self.time_aug = time_aug and mode == "train"
         self.shuffle = (mode == "train") if shuffle is None else shuffle
         self.drop_last = self.shuffle if drop_last is None else drop_last
@@ -98,20 +110,30 @@ class AudioBatchIterator:
     def __len__(self):
         return len(self.groups)
 
+    def _decode_pool(self):
+        if getattr(self, "_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=self.njobs)
+        return self._pool
+
     def _emit(self, idxs: List[int]) -> Dict[str, np.ndarray]:
-        wavs, txts, names = [], [], []
-        for i in idxs:
-            item, toks = self.ds[i]
-            names.append(item if isinstance(item, str) else "utt%d" % i)
-            wav = _decode(item)
-            if self.time_aug:
-                # time-domain augmentation before features, like the
-                # reference's ReadAudio (src/audio.py:303-305)
-                from e2e_asr_pytorch_tpu.data.augment_time import \
-                    augment_waveform
-                wav = augment_waveform(wav, self.rng)
-            wavs.append(wav)
-            txts.append(np.asarray(toks, np.int32))
+        items = [self.ds[i] for i in idxs]
+        names = [it[0] if isinstance(it[0], str) else "utt%d" % i
+                 for i, it in zip(idxs, items)]
+        if self.njobs > 1 and isinstance(items[0][0], str):
+            # --njobs worker threads overlap the audio decode (the flac
+            # subprocess path in data/wav.py releases the GIL)
+            wavs = list(self._decode_pool().map(_decode,
+                                                [it[0] for it in items]))
+        else:
+            wavs = [_decode(it[0]) for it in items]
+        txts = [np.asarray(it[1], np.int32) for it in items]
+        if self.time_aug:
+            # time-domain augmentation before features, like the reference's
+            # ReadAudio (src/audio.py:303-305); sequential so the RNG draw
+            # order stays deterministic regardless of njobs
+            from e2e_asr_pytorch_tpu.data.augment_time import augment_waveform
+            wavs = [augment_waveform(w, self.rng) for w in wavs]
 
         max_s = max(len(w) for w in wavs)
         max_l = max(len(t) for t in txts)
@@ -121,7 +143,8 @@ class AudioBatchIterator:
             wavs, txts, names = wavs[::2], txts[::2], names[::2]
 
         cap_s, cap_l = self.buckets.lookup(max_s, max_l)
-        b = len(wavs)
+        n_real = len(wavs)
+        b = _round_up(n_real, self.pad_multiple)
         wav = np.zeros((b, cap_s), np.float32)
         txt = np.zeros((b, cap_l), np.int32)
         wav_len = np.zeros((b,), np.int32)
@@ -132,8 +155,15 @@ class AudioBatchIterator:
             txt[j, :l] = t[:l]
             wav_len[j] = s
             txt_len[j] = int((t[:l] != 0).sum())
+        if b > n_real:  # replicate row 0 into the padding rows
+            wav[n_real:] = wav[0]
+            txt[n_real:] = txt[0]
+            wav_len[n_real:] = wav_len[0]
+            txt_len[n_real:] = txt_len[0]
+        utt_w = np.zeros((b,), np.float32)
+        utt_w[:n_real] = 1.0
         return {"name": names, "wav": wav, "wav_len": wav_len,
-                "txt": txt, "txt_len": txt_len}
+                "txt": txt, "txt_len": txt_len, "utt_w": utt_w}
 
     def _native_usable(self) -> bool:
         if self.time_aug or len(self.ds) == 0:
@@ -148,7 +178,7 @@ class AudioBatchIterator:
         """Pipelined iteration through the C++ loader: decode+pad runs in
         native worker threads `depth` batches ahead of the consumer."""
         from e2e_asr_pytorch_tpu.data import native_loader as NL
-        loader = NL.NativeBatchLoader(n_workers=4)
+        loader = NL.NativeBatchLoader(n_workers=max(1, self.njobs))
         try:
             plans = []
             for gi in order:
@@ -176,7 +206,8 @@ class AudioBatchIterator:
                 if submitted < n:
                     loader.submit(plans[submitted][1], plans[submitted][2])
                     submitted += 1
-                b = len(idxs)
+                n_real = len(idxs)
+                b = _round_up(n_real, self.pad_multiple)
                 txt = np.zeros((b, cap_l), np.int32)
                 txt_len = np.zeros((b,), np.int32)
                 for row, i in enumerate(idxs):
@@ -184,8 +215,17 @@ class AudioBatchIterator:
                     l = min(len(t), cap_l)
                     txt[row, :l] = t[:l]
                     txt_len[row] = int((t[:l] != 0).sum())
+                if b > n_real:
+                    wav = np.concatenate(
+                        [wav, np.broadcast_to(wav[0], (b - n_real,) + wav.shape[1:])])
+                    wav_len = np.concatenate(
+                        [wav_len, np.broadcast_to(wav_len[0], (b - n_real,))])
+                    txt[n_real:] = txt[0]
+                    txt_len[n_real:] = txt_len[0]
+                utt_w = np.zeros((b,), np.float32)
+                utt_w[:n_real] = 1.0
                 yield {"name": paths, "wav": wav, "wav_len": wav_len,
-                       "txt": txt, "txt_len": txt_len}
+                       "txt": txt, "txt_len": txt_len, "utt_w": utt_w}
         finally:
             loader.close()
 
@@ -210,10 +250,13 @@ class TextBatchIterator:
     TOKEN_BUCKETS = (24, 48, 96, 160, 320, 640)
 
     def __init__(self, texts: List[List[int]], batch_size: int,
-                 mode: str = "train", seed: int = 0):
+                 mode: str = "train", seed: int = 0, pad_multiple: int = 1):
         self.texts = texts
         self.batch_size = batch_size
         self.mode = mode
+        # all-<pad> padding rows: masked CE / ppx token counts ignore them,
+        # so no explicit weight vector is needed on the text path
+        self.pad_multiple = max(1, pad_multiple)
         self.rng = np.random.default_rng(seed)
         n = len(texts)
         self.groups = [list(range(i, min(i + batch_size, n)))
@@ -241,7 +284,7 @@ class TextBatchIterator:
             if self.mode == "train" and len(seqs[0]) > HALF_BATCHSIZE_TEXT_LEN:
                 seqs = seqs[:max(1, len(seqs) // 2)]
             cap = self._bucket(max(len(s) for s in seqs))
-            b = len(seqs)
+            b = _round_up(len(seqs), self.pad_multiple)
             txt = np.zeros((b, cap), np.int32)
             txt_len = np.zeros((b,), np.int32)
             for j, s in enumerate(seqs):

@@ -50,7 +50,7 @@ def _data_msg(name, path, train_split, n_tr, dev_split, n_dv, batch_size,
 
 def load_dataset(njobs: int, use_gpu: bool, pin_memory: bool,
                  ascending: bool, corpus: Dict, audio: Dict, text: Dict,
-                 mode: str = "train", seed: int = 0):
+                 mode: str = "train", seed: int = 0, pad_multiple: int = 1):
     """Returns (tr_iter, dv_iter(s), feat_dim, vocab_size, tokenizer, msgs).
 
     In mode='eval', the first two are (dev_iter, test_iter) like the
@@ -76,7 +76,8 @@ def load_dataset(njobs: int, use_gpu: bool, pin_memory: bool,
         tr_it = AudioBatchIterator(tr_ds, batch_size, "train",
                                    shuffle=not ascending,
                                    drop_last=not ascending, seed=seed,
-                                   time_aug=bool(audio.get("time_aug", False)))
+                                   time_aug=bool(audio.get("time_aug", False)),
+                                   pad_multiple=pad_multiple, njobs=njobs)
         if dev_split and isinstance(dev_split[0], list):
             dv_its = []
             n_dv = 0
@@ -85,13 +86,16 @@ def load_dataset(njobs: int, use_gpu: bool, pin_memory: bool,
                                        text["mode"], False, subset, **c)
                 n_dv += len(dv_ds)
                 dv_its.append(AudioBatchIterator(dv_ds, batch_size, "eval",
-                                                 seed=seed))
+                                                 seed=seed,
+                                                 pad_multiple=pad_multiple,
+                                                 njobs=njobs))
             dv_it = dv_its
         else:
             dv_ds = _make_audio_ds(name, path, dev_split, tokenizer,
                                    text["mode"], False, subset, **c)
             n_dv = len(dv_ds)
-            dv_it = AudioBatchIterator(dv_ds, batch_size, "eval", seed=seed)
+            dv_it = AudioBatchIterator(dv_ds, batch_size, "eval", seed=seed,
+                                       pad_multiple=pad_multiple, njobs=njobs)
         msgs = _data_msg(name, path, str(train_split), len(tr_ds),
                          str(dev_split), n_dv, batch_size, bucketing)
         msgs.append("I/O spec.  | Audio Feature = {}\t| Feature Dim = {}\t| "
@@ -107,8 +111,10 @@ def load_dataset(njobs: int, use_gpu: bool, pin_memory: bool,
                            False, subset, **c)
     tt_ds = _make_audio_ds(name, path, test_split, tokenizer, text["mode"],
                            False, subset, **c)
-    dv_it = AudioBatchIterator(dv_ds, batch_size, "eval", seed=seed)
-    tt_it = AudioBatchIterator(tt_ds, batch_size, "eval", seed=seed)
+    dv_it = AudioBatchIterator(dv_ds, batch_size, "eval", seed=seed,
+                               pad_multiple=pad_multiple, njobs=njobs)
+    tt_it = AudioBatchIterator(tt_ds, batch_size, "eval", seed=seed,
+                               pad_multiple=pad_multiple, njobs=njobs)
     msgs = _data_msg(name, path, str(dev_split), len(dv_ds),
                      str(test_split), len(tt_ds), batch_size, False)
     msgs = [m.replace("Dev", "Test").replace("Train", "Dev") for m in msgs]
@@ -116,7 +122,7 @@ def load_dataset(njobs: int, use_gpu: bool, pin_memory: bool,
 
 
 def load_textset(njobs: int, use_gpu: bool, pin_memory: bool, corpus: Dict,
-                 text: Dict, seed: int = 0):
+                 text: Dict, seed: int = 0, pad_multiple: int = 1):
     """LM datasets: (tr_iter, dv_iter, vocab_size, tokenizer, msgs)."""
     tokenizer = load_text_encoder(**text)
     c = dict(corpus)
@@ -138,8 +144,10 @@ def load_textset(njobs: int, use_gpu: bool, pin_memory: bool, corpus: Dict,
         dv = corpus_lib.load_synthetic_text(tokenizer, seed=seed + 1, **c_dv)
     else:
         raise NotImplementedError("corpus `{}`".format(name))
-    tr_it = TextBatchIterator(tr, batch_size, "train", seed=seed)
-    dv_it = TextBatchIterator(dv, batch_size, "eval", seed=seed)
+    tr_it = TextBatchIterator(tr, batch_size, "train", seed=seed,
+                              pad_multiple=pad_multiple)
+    dv_it = TextBatchIterator(dv, batch_size, "eval", seed=seed,
+                              pad_multiple=pad_multiple)
     msgs = _data_msg(name, path, str(train_split), len(tr), str(dev_split),
                      len(dv), batch_size, True)
     msgs.append("I/O spec.  | Token type = {}\t| Vocab size = {}".format(

@@ -223,10 +223,18 @@ def beam_decode(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
         eos_ok = att_logp[:, :, 1] > cfg.eos_threshold * max_no_eos
         is_eos = topi == 1
         len_ok = (t >= min_len)[:, None, None]
-        final_mask = (is_eos & eos_ok[:, :, None] & len_ok
+        # a hypothesis may only take its <eos> while t < max_len — the
+        # reference's loop simply ends at max_output_len (src/decode.py:104),
+        # so no sequence ever exceeds the per-utterance budget
+        in_budget = (t < max_len)[:, None, None]
+        final_mask = (is_eos & eos_ok[:, :, None] & len_ok & in_budget
                       & carry["alive"][:, :, None])               # B,K,K
 
-        expandable = (~is_eos) & carry["alive"][:, :, None] \
+        # an <eos> candidate that PASSES the threshold is consumed (final or,
+        # below min_len, discarded); one that FAILS stays a live hypothesis
+        # with the eos token appended — reference src/decode.py:229-252
+        # (addTopk only `continue`s past eos when the threshold check wins)
+        expandable = (~(is_eos & eos_ok[:, :, None])) & carry["alive"][:, :, None] \
             & (t < max_len)[:, None, None]
         new_len = (t + 1).astype(jnp.float32)
         cand_sum = carry["score_sum"][:, :, None] + topv          # B,K,K

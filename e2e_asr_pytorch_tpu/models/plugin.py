@@ -147,11 +147,13 @@ class EmbeddingRegularizer:
         return jnp.log(fused + 1e-8)
 
     def loss(self, params: Dict, dec_state: jnp.ndarray,
-             dec_logit: jnp.ndarray, label: jnp.ndarray
+             dec_logit: jnp.ndarray, label: jnp.ndarray,
+             utt_w: jnp.ndarray = None
              ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """Returns (emb regression loss, fused log-prob or None).
 
-        dec_state: (B,L,H) decoder states; label: (B,L) target ids."""
+        dec_state: (B,L,H) decoder states; label: (B,L) target ids;
+        utt_w: optional (B,) weights (0 = mesh-padding row, excluded)."""
         x_emb = self.emb_project(params, dec_state, train=True)
         table = params["emb_table"]
         if self.spec.freeze:
@@ -168,7 +170,11 @@ class EmbeddingRegularizer:
             raise NotImplementedError(self.spec.distance)
         mask = (label != 0).astype(per_pos.dtype)
         per_utt = jnp.sum(per_pos * mask, -1) / jnp.maximum(mask.sum(-1), 1.0)
-        loss = jnp.mean(per_utt)
+        if utt_w is None:
+            loss = jnp.mean(per_utt)
+        else:
+            w = utt_w.astype(per_utt.dtype)
+            loss = jnp.sum(per_utt * w) / jnp.maximum(jnp.sum(w), 1.0)
         fused = self.fuse_prob(params, x_emb, dec_logit) \
             if self.apply_fuse else None
         return loss, fused

@@ -86,15 +86,22 @@ def ctc_forward_scores(log_probs: jnp.ndarray, input_len: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("blank", "reduction"))
 def ctc_loss(log_probs: jnp.ndarray, input_len: jnp.ndarray,
              labels: jnp.ndarray, label_len: jnp.ndarray, blank: int = 0,
-             reduction: str = "mean") -> jnp.ndarray:
-    """torch.nn.CTCLoss-compatible loss over a padded batch."""
+             reduction: str = "mean", utt_w: jnp.ndarray = None) -> jnp.ndarray:
+    """torch.nn.CTCLoss-compatible loss over a padded batch.
+
+    ``utt_w`` (B,) optionally down-weights rows (0 = mesh-padding utterance
+    excluded from the batch mean)."""
     nll = ctc_forward_scores(log_probs, input_len, labels, label_len, blank)
     if reduction == "none":
         return nll
     if reduction == "sum":
-        return jnp.sum(nll)
+        return jnp.sum(nll if utt_w is None else nll * utt_w)
     # 'mean': normalize each by label length then average over batch
-    return jnp.mean(nll / jnp.maximum(label_len, 1))
+    per_utt = nll / jnp.maximum(label_len, 1)
+    if utt_w is None:
+        return jnp.mean(per_utt)
+    w = utt_w.astype(per_utt.dtype)
+    return jnp.sum(per_utt * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def ctc_greedy_collapse(ids: jnp.ndarray, blank: int = 0) -> jnp.ndarray:

@@ -16,10 +16,23 @@ import jax
 import jax.numpy as jnp
 
 
+def _row_weights(utt_w, shape2d, dtype):
+    """(B,) per-utterance weights broadcast to a flattened (B*T,) mask.
+
+    ``utt_w`` marks padding rows added so the batch axis divides the data
+    mesh axis (0 = padding utterance, excluded from every reduction)."""
+    if utt_w is None:
+        return None
+    b, t = shape2d
+    return jnp.broadcast_to(utt_w.astype(dtype)[:, None], (b, t)).reshape(-1)
+
+
 def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
                          num_classes: int, smoothing: float = 0.1,
-                         mask_pad: bool = False, pad_id: int = 0) -> jnp.ndarray:
+                         mask_pad: bool = False, pad_id: int = 0,
+                         utt_w: jnp.ndarray = None) -> jnp.ndarray:
     """logits (N,V) or (B,T,V); targets (N,) or (B,T)."""
+    shape2d = targets.shape if targets.ndim == 2 else (targets.shape[0], 1)
     logits = logits.reshape(-1, logits.shape[-1])
     targets = targets.reshape(-1)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -28,29 +41,44 @@ def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     tgt_logp = jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
     # sum(-true_dist * logp) = -(confidence - smear)*logp[tgt] - smear*sum(logp)
     per_pos = -(confidence - smear) * tgt_logp - smear * jnp.sum(logp, axis=-1)
+    if not mask_pad and utt_w is None:
+        return jnp.mean(per_pos)
+    mask = jnp.ones_like(per_pos)
     if mask_pad:
-        mask = (targets != pad_id).astype(per_pos.dtype)
-        return jnp.sum(per_pos * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-    return jnp.mean(per_pos)
+        mask = mask * (targets != pad_id).astype(per_pos.dtype)
+    row_w = _row_weights(utt_w, shape2d, per_pos.dtype)
+    if row_w is not None:
+        mask = mask * row_w
+    return jnp.sum(per_pos * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray,
-                       ignore_index: int = 0) -> jnp.ndarray:
+                       ignore_index: int = 0,
+                       utt_w: jnp.ndarray = None) -> jnp.ndarray:
     """Mean CE over non-ignored positions (torch ignore_index semantics)."""
+    shape2d = targets.shape if targets.ndim == 2 else (targets.shape[0], 1)
     logits = logits.reshape(-1, logits.shape[-1])
     targets = targets.reshape(-1)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[:, None].clip(0), axis=1)[:, 0]
     mask = (targets != ignore_index).astype(nll.dtype)
+    row_w = _row_weights(utt_w, shape2d, nll.dtype)
+    if row_w is not None:
+        mask = mask * row_w
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def nll_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
-             ignore_index: int = 0) -> jnp.ndarray:
+             ignore_index: int = 0,
+             utt_w: jnp.ndarray = None) -> jnp.ndarray:
     """NLL over already-log-probability inputs (emb-fusion path parity with
     torch.nn.NLLLoss(ignore_index=0), reference bin/train_asr.py:146)."""
+    shape2d = targets.shape if targets.ndim == 2 else (targets.shape[0], 1)
     lp = log_probs.reshape(-1, log_probs.shape[-1])
     targets = targets.reshape(-1)
     nll = -jnp.take_along_axis(lp, targets[:, None].clip(0), axis=1)[:, 0]
     mask = (targets != ignore_index).astype(nll.dtype)
+    row_w = _row_weights(utt_w, shape2d, nll.dtype)
+    if row_w is not None:
+        mask = mask * row_w
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -33,11 +33,20 @@ class BaseSolver(abc.ABC):
         for k, v in DEFAULT_HPARAS.items():
             setattr(self, k, v)
 
-        # device / mesh
+        # device / mesh — data-parallel over every visible device by default
+        # (the TPU-native replacement for the reference's single cuda id,
+        # src/solver.py:26); --n-devices restricts the mesh for A/B tests
         if paras.cpu:
             jax.config.update("jax_platforms", "cpu")
         self.devices = jax.devices()
-        self.mesh = mesh_lib.make_mesh(n_data=len(self.devices), n_model=1)
+        n_dev = getattr(paras, "n_devices", None)
+        if n_dev:
+            self.devices = self.devices[:n_dev]
+        self.mesh = mesh_lib.make_mesh(n_data=len(self.devices), n_model=1,
+                                       devices=self.devices)
+        self.n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+        self._batch_sharding = mesh_lib.batch_sharding(self.mesh)
+        self._replicated = mesh_lib.replicated(self.mesh)
 
         # bf16 compute on TPU ('--amp' parity flag or config override)
         import jax.numpy as jnp
@@ -87,6 +96,21 @@ class BaseSolver(abc.ABC):
                 "1" if self.train_dec else "0")
             if paras.seed > 0:
                 self.save_name += "-sd" + str(paras.seed)
+
+    # -------------------------------------------------------------- mesh io
+    def place_model(self):
+        """Place params/opt_state on the mesh (replicated across 'data');
+        jitted steps then consume operand shardings and GSPMD inserts the
+        gradient psum across devices — main.py is data-parallel by default."""
+        self.params = jax.device_put(self.params, self._replicated)
+        if getattr(self, "opt_state", None) is not None:
+            self.opt_state = jax.device_put(self.opt_state, self._replicated)
+
+    def put_batch(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        """Host batch -> device arrays, batch axis sharded across 'data'."""
+        return {k: (jax.device_put(v, self._batch_sharding)
+                    if hasattr(v, "shape") else v)
+                for k, v in data.items()}
 
     # ------------------------------------------------------------------ io
     def verbose(self, msg):

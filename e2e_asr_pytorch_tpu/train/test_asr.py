@@ -55,7 +55,7 @@ class Solver(BaseSolver):
             self.tokenizer, msg = load_dataset(
                 self.paras.njobs, self.paras.gpu, self.paras.pin_memory,
                 False, **self.config["data"], mode="eval",
-                seed=self.paras.seed)
+                seed=self.paras.seed, pad_multiple=self.n_data)
         if self.upstream is not None:
             self.feat_dim = up_dim
         self.verbose(msg)
@@ -77,6 +77,7 @@ class Solver(BaseSolver):
 
         self.opt_state = None
         self.load_ckpt()
+        self.place_model()
 
         self.lm_params, self.lm_spec = None, None
         if self.lm_weight > 0:
@@ -84,7 +85,7 @@ class Solver(BaseSolver):
             self.lm_spec = LM.build_spec(self.vocab_size, **lm_cfg["model"])
             self.lm_params = LM.lm_init(jax.random.PRNGKey(1), self.lm_spec)
             ck = ckpt_lib.load_checkpoint(self.lm_path, self.lm_params)
-            self.lm_params = ck["model"]
+            self.lm_params = jax.device_put(ck["model"], self._replicated)
             self.verbose("LM loaded from {} (ppx {:.2f})".format(
                 self.lm_path, ck.get("metric_value", float("nan"))))
 
@@ -126,19 +127,25 @@ class Solver(BaseSolver):
         self.verbose("All done !")
 
     def _decode_batch(self, data, out_path: str, beam_path: Optional[str]):
-        wav = jnp.asarray(data["wav"])
-        wav_len = jnp.asarray(data["wav_len"])
+        dev = self.put_batch(data)
+        wav, wav_len = dev["wav"], dev["wav_len"]
         if self.upstream is not None:
             feat, feat_len = self.upstream(wav, wav_len)
         else:
             feat, feat_len = extract_features(self.feat_cfg, wav, wav_len)
         names = [os.path.basename(str(n)).rsplit(".", 1)[0]
                  for n in data["name"]]
-        truths = [self.tokenizer.decode(t.tolist()) for t in data["txt"]]
+        # mesh-padding rows (decode batches pad up to the data-axis size)
+        # are dropped here: names covers only the real utterances
+        truths = [self.tokenizer.decode(t.tolist())
+                  for t in data["txt"][:len(names)]]
 
         emb_params = self.params.get("emb_plugin") if self.emb_reg else None
         if self.greedy:
-            decode_step = int(np.ceil(data["txt"].shape[1] * self.DEV_STEP_RATIO))
+            # decode budget from INPUT frames like the beam path — the
+            # transcript length is not available at test time (fixes the
+            # round-1 label-length leak; reference src/decode.py:73-75)
+            decode_step = self._max_steps_for(int(wav.shape[1]))
             out = greedy_decode(self.params, self.spec, feat, feat_len,
                                 decode_step, emb_reg=self.emb_reg,
                                 emb_params=emb_params,

@@ -54,7 +54,8 @@ class Solver(BaseSolver):
         self.tr_set, self.dv_set, feat_dim, self.vocab_size, self.tokenizer, msg = \
             load_dataset(self.paras.njobs, self.paras.gpu,
                          self.paras.pin_memory, self.curriculum > 0,
-                         **self.config["data"], seed=self.paras.seed)
+                         **self.config["data"], seed=self.paras.seed,
+                         pad_multiple=self.n_data)
         if self.upstream is None:
             self.feat_dim = feat_dim
         self.verbose(msg)
@@ -109,6 +110,7 @@ class Solver(BaseSolver):
 
         if self.paras.load:
             self.load_ckpt()
+        self.place_model()
 
         self._train_step = self._build_train_step()
         self._valid_step = self._build_valid_step()
@@ -140,7 +142,7 @@ class Solver(BaseSolver):
         return feat, feat_len
 
     def _losses(self, params, feat, feat_len, txt, txt_len, tf_rate, rng,
-                use_ctc, train):
+                use_ctc, train, utt_w=None):
         decode_step = txt.shape[1]
         fix_enc = tuple(self.fix_enc) if self.transfer_learning else ()
         fix_dec = self.fix_dec if self.transfer_learning else False
@@ -155,21 +157,23 @@ class Solver(BaseSolver):
         total, ctc_loss_v, att_loss_v, emb_loss_v = 0.0, None, None, None
         if self.emb_reg:
             emb_loss_v, fuse_out = self.emb_decoder.loss(
-                params["emb_plugin"], dec_state, att_out, txt)
+                params["emb_plugin"], dec_state, att_out, txt, utt_w=utt_w)
             total += self.emb_decoder.weight * emb_loss_v
             if self.emb_decoder.apply_fuse:
                 att_out = fuse_out
         if ctc_out is not None and use_ctc:
-            ctc_loss_v = ctc_ops.ctc_loss(ctc_out, enc_len, txt, txt_len)
+            ctc_loss_v = ctc_ops.ctc_loss(ctc_out, enc_len, txt, txt_len,
+                                          utt_w=utt_w)
             total += ctc_loss_v * self.spec.ctc_weight
         if att_out is not None:
             if self.emb_reg and self.emb_decoder.apply_fuse:
-                att_loss_v = L.nll_loss(att_out, txt)
+                att_loss_v = L.nll_loss(att_out, txt, utt_w=utt_w)
             elif self.label_smoothing:
                 att_loss_v = L.label_smoothing_loss(att_out, txt,
-                                                    self.vocab_size, 0.1)
+                                                    self.vocab_size, 0.1,
+                                                    utt_w=utt_w)
             else:
-                att_loss_v = L.cross_entropy_loss(att_out, txt)
+                att_loss_v = L.cross_entropy_loss(att_out, txt, utt_w=utt_w)
             total += att_loss_v * (1 - self.spec.ctc_weight)
         return total, (ctc_loss_v, att_loss_v, emb_loss_v, ctc_out, att_out,
                        enc_len)
@@ -177,14 +181,14 @@ class Solver(BaseSolver):
     def _build_train_step(self):
         @functools.partial(jax.jit, static_argnames=("use_ctc",),
                            donate_argnums=(0, 1))
-        def step_fn(params, opt_state, wav, wav_len, txt, txt_len, rng,
-                    tf_rate, use_ctc=True):
+        def step_fn(params, opt_state, wav, wav_len, txt, txt_len, utt_w,
+                    rng, tf_rate, use_ctc=True):
             r_aug, r_fwd = jax.random.split(rng)
             feat, feat_len = self._features(wav, wav_len, r_aug, True)
 
             def loss_fn(p):
                 return self._losses(p, feat, feat_len, txt, txt_len, tf_rate,
-                                    r_fwd, use_ctc, True)
+                                    r_fwd, use_ctc, True, utt_w=utt_w)
 
             (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             gnorm = O.global_norm(grads)
@@ -233,7 +237,8 @@ class Solver(BaseSolver):
                              "starting random sampling.".format(self.n_epochs))
                 self.tr_set, _, _, _, _, _ = load_dataset(
                     self.paras.njobs, self.paras.gpu, self.paras.pin_memory,
-                    False, **self.config["data"], seed=self.paras.seed)
+                    False, **self.config["data"], seed=self.paras.seed,
+                    pad_multiple=self.n_data)
                 self.curriculum = 0
 
             for data in self.tr_set:
@@ -252,12 +257,12 @@ class Solver(BaseSolver):
                     self.verbose("Profiler trace (steps 10-13) written to "
                                  + self.logdir)
 
+                dev = self.put_batch(data)
                 self.params, self.opt_state, metrics, ctc_out, att_out = \
                     self._train_step(self.params, self.opt_state,
-                                     jnp.asarray(data["wav"]),
-                                     jnp.asarray(data["wav_len"]),
-                                     jnp.asarray(data["txt"]),
-                                     jnp.asarray(data["txt_len"]),
+                                     dev["wav"], dev["wav_len"],
+                                     dev["txt"], dev["txt_len"],
+                                     dev["utt_w"],
                                      rng, tf_rate, use_ctc=use_ctc)
                 total = metrics["total"]
                 self.step += 1
@@ -268,17 +273,18 @@ class Solver(BaseSolver):
                     gnorm_v = float(metrics["gnorm"])
                     self.progress("Tr stat | Loss - {:.2f} | Grad. Norm - {:.2f} | {}"
                                   .format(total_v, gnorm_v, self.timer.show()))
-                    txt_np = data["txt"]
+                    n_real = _n_real(data)
+                    txt_np = data["txt"][:n_real]
                     self.write_log("emb_loss", {"tr": _opt(metrics["emb"])})
                     if att_out is not None:
-                        att_np = np.asarray(att_out)
+                        att_np = np.asarray(att_out)[:n_real]
                         self.write_log("loss", {"tr_att": _opt(metrics["att"])})
                         self.write_log(self.WER, {"tr_att": cal_er(
                             self.tokenizer, att_np, txt_np, mode=self.WER)})
                         self.write_log("cer", {"tr_att": cal_er(
                             self.tokenizer, att_np, txt_np, mode="cer")})
                     if ctc_out is not None and use_ctc:
-                        ctc_np = np.asarray(ctc_out)
+                        ctc_np = np.asarray(ctc_out)[:n_real]
                         self.write_log("loss", {"tr_ctc": _opt(metrics["ctc"])})
                         self.write_log(self.WER, {"tr_ctc": cal_er(
                             self.tokenizer, ctc_np, txt_np, mode=self.WER, ctc=True)})
@@ -315,18 +321,19 @@ class Solver(BaseSolver):
         for i, data in enumerate(dv_set):
             self.progress("Valid step - {}/{}".format(i + 1, n_batches))
             decode_step = int(np.ceil(data["txt"].shape[1] * self.DEV_STEP_RATIO))
+            dev = self.put_batch(data)
             ctc_out, att_out, att_align = self._valid_step(
-                self.params, jnp.asarray(data["wav"]),
-                jnp.asarray(data["wav_len"]), jnp.asarray(data["txt"]),
-                jnp.asarray(data["txt_len"]), decode_step)
-            txt_np = data["txt"]
+                self.params, dev["wav"], dev["wav_len"], dev["txt"],
+                dev["txt_len"], decode_step)
+            n_real = _n_real(data)
+            txt_np = data["txt"][:n_real]
             if att_out is not None:
-                att_np = np.asarray(att_out)
+                att_np = np.asarray(att_out)[:n_real]
                 dev_wer["att"].append(cal_er(self.tokenizer, att_np, txt_np, mode="wer"))
                 dev_cer["att"].append(cal_er(self.tokenizer, att_np, txt_np, mode="cer"))
                 dev_er["att"].append(cal_er(self.tokenizer, att_np, txt_np, mode=self.val_mode))
             if ctc_out is not None:
-                ctc_np = np.asarray(ctc_out)
+                ctc_np = np.asarray(ctc_out)[:n_real]
                 dev_wer["ctc"].append(cal_er(self.tokenizer, ctc_np, txt_np, mode="wer", ctc=True))
                 dev_cer["ctc"].append(cal_er(self.tokenizer, ctc_np, txt_np, mode="cer", ctc=True))
                 dev_er["ctc"].append(cal_er(self.tokenizer, ctc_np, txt_np, mode=self.val_mode, ctc=True))
@@ -341,11 +348,11 @@ class Solver(BaseSolver):
                                        feat_to_fig(np.asarray(att_align)[j, 0]))
                         self.write_log("att_text_{}_{}".format(name, j),
                                        self.tokenizer.decode(
-                                           np.asarray(att_out)[j].argmax(-1).tolist()))
+                                           att_np[j].argmax(-1).tolist()))
                     if ctc_out is not None:
                         self.write_log("ctc_text_{}_{}".format(name, j),
                                        self.tokenizer.decode(
-                                           np.asarray(ctc_out)[j].argmax(-1).tolist(),
+                                           ctc_np[j].argmax(-1).tolist(),
                                            ignore_repeat=True))
 
         tasks = [t for t in ("att", "ctc") if len(dev_er[t]) > 0]
@@ -363,6 +370,12 @@ class Solver(BaseSolver):
                                      self.val_mode, er)
             self.write_log(self.WER, {"dv_" + task + "_" + name.lower(): wer})
             self.write_log("cer", {"dv_" + task + "_" + name.lower(): cer})
+
+
+def _n_real(data):
+    """Number of real (non-mesh-padding) utterances in a host batch."""
+    w = data.get("utt_w")
+    return int(w.sum()) if w is not None else len(data["txt"])
 
 
 def _opt(x):

@@ -35,7 +35,8 @@ class Solver(BaseSolver):
         self.tr_set, self.dv_set, self.vocab_size, self.tokenizer, msg = \
             load_textset(self.paras.njobs, self.paras.gpu,
                          self.paras.pin_memory, self.config["data"]["corpus"],
-                         self.config["data"]["text"], seed=self.paras.seed)
+                         self.config["data"]["text"], seed=self.paras.seed,
+                         pad_multiple=self.n_data)
         self.verbose(msg)
 
     def set_model(self):
@@ -51,6 +52,7 @@ class Solver(BaseSolver):
         self.verbose(O.create_msg(**hp))
         if self.paras.load:
             self.load_ckpt()
+        self.place_model()
         self._train_step = self._build_train_step()
         self._valid_step = self._build_valid_step()
 
@@ -103,7 +105,8 @@ class Solver(BaseSolver):
                 self.timer.cnt("rd")
                 rng = jax.random.fold_in(base_rng, self.step)
                 self.params, self.opt_state, loss, gnorm = self._train_step(
-                    self.params, self.opt_state, jnp.asarray(data["txt"]), rng)
+                    self.params, self.opt_state,
+                    self.put_batch(data)["txt"], rng)
                 self.step += 1
                 self.timer.cnt("fw")
 
@@ -130,7 +133,8 @@ class Solver(BaseSolver):
         n_batches = len(self.dv_set)
         for i, data in enumerate(self.dv_set):
             self.progress("Valid step - {}/{}".format(i + 1, n_batches))
-            nll, cnt = self._valid_step(self.params, jnp.asarray(data["txt"]))
+            nll, cnt = self._valid_step(self.params,
+                                        self.put_batch(data)["txt"])
             total_nll += float(nll)
             total_tok += float(cnt)
         dev_loss = total_nll / max(total_tok, 1.0)

@@ -66,6 +66,7 @@ class Paras:
     upstream_refresh: bool = False
     upstream_ckpt: Optional[str] = None
     upstream_trainable: bool = False
+    n_devices: Optional[int] = None  # restrict the mesh (default: all)
     verbose: bool = True
     pin_memory: bool = True
     gpu: bool = False
@@ -102,6 +103,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--upstream_refresh", action="store_true")
     p.add_argument("--upstream_ckpt", default=None, type=str)
     p.add_argument("--upstream_trainable", action="store_true")
+    p.add_argument("--n-devices", default=None, type=int, dest="n_devices",
+                   help="Restrict the data-parallel mesh to the first N "
+                        "devices (default: all visible devices)")
     return p
 
 

@@ -1,0 +1,90 @@
+"""Data-parallel training through the REAL solvers.
+
+Round-1 sharding only existed in tests that built their own train step; these
+tests drive train_asr.Solver.exec() itself on the 8-device virtual CPU mesh
+and assert (a) batches are actually sharded across 'data', and (b) the
+resulting parameters match a single-device run of the same recipe (the
+weighted-loss mesh-padding rows must contribute nothing).
+"""
+
+import copy
+import os
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from e2e_asr_pytorch_tpu.utils.config import Paras
+
+from tests.test_integration import TINY_ASR, TINY_LM
+
+
+def _paras(tmp_path, tag, **kw):
+    return Paras(config=str(tmp_path / "cfg.yaml"), name=tag,
+                 logdir=str(tmp_path / "log"), ckpdir=str(tmp_path / "ckpt"),
+                 outdir=str(tmp_path / "out"), njobs=0, cpu=True,
+                 verbose=False, **kw)
+
+
+def _train_asr(tmp_path, tag, n_devices):
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["hparas"]["max_step"] = 3
+    cfg["hparas"]["valid_step"] = 2
+    solver = Solver(cfg, _paras(tmp_path, tag, n_devices=n_devices), "train")
+    solver.load_data()
+    solver.set_model()
+    solver.exec()
+    return solver
+
+
+def test_solver_batches_are_mesh_sharded(tmp_path):
+    """The solver's own put_batch shards the batch axis across 'data'."""
+    import jax
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+    cfg = copy.deepcopy(TINY_ASR)
+    solver = Solver(cfg, _paras(tmp_path, "shard"), "train")
+    assert solver.n_data == len(jax.devices()) == 8
+    solver.load_data()
+    batch = next(iter(solver.tr_set))
+    # batch_size=4 padded up to the 8-wide data axis
+    assert batch["wav"].shape[0] == 8
+    assert batch["utt_w"].sum() == 4
+    dev = solver.put_batch(batch)
+    shards = dev["wav"].addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape[0] == 1  # 8 rows / 8 devices
+
+
+def test_asr_solver_multi_device_matches_single(tmp_path):
+    """exec() on the 8-device mesh == exec() restricted to 1 device."""
+    import jax
+    s8 = _train_asr(tmp_path, "dp8", n_devices=None)
+    s1 = _train_asr(tmp_path, "dp1", n_devices=1)
+    assert s8.n_data == 8 and s1.n_data == 1
+    l8 = jax.tree.leaves(s8.params)
+    l1 = jax.tree.leaves(s1.params)
+    assert len(l8) == len(l1)
+    for a, b in zip(l8, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_lm_solver_runs_on_mesh(tmp_path):
+    """train_lm.Solver on the full mesh: finite loss, ckpt written."""
+    from e2e_asr_pytorch_tpu.train.train_lm import Solver
+    cfg = copy.deepcopy(TINY_LM)
+    cfg["hparas"]["max_step"] = 2
+    cfg["hparas"]["valid_step"] = 2
+    solver = Solver(cfg, _paras(tmp_path, "lm8"), "train")
+    assert solver.n_data == 8
+    solver.load_data()
+    solver.set_model()
+    solver.exec()
+    import jax
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(solver.params))
+    assert os.path.exists(tmp_path / "ckpt" / "lm8" / "last_ppx.pth")
