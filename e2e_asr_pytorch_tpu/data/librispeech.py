@@ -128,17 +128,33 @@ class SyntheticCorpus:
     """
 
     def __init__(self, vocab_size: int, sample_rate: int = 16000,
-                 seg_ms: int = 160, noise: float = 0.05, seed: int = 0):
+                 seg_ms: int = 160, noise: float = 0.05, seed: int = 0,
+                 active_vocab: Optional[int] = None):
         self.vocab_size = vocab_size
         self.sample_rate = sample_rate
         self.seg_len = int(sample_rate * seg_ms / 1000)
         self.noise = noise
         self.seed = seed
+        # active_vocab=N restricts transcripts to N evenly spaced token ids
+        # (maximally separated tones) — the fast-convergence setting the
+        # learning test uses; default keeps every non-special id
+        ids = np.arange(3, vocab_size)
+        if active_vocab is not None and active_vocab < len(ids):
+            ids = np.unique(np.linspace(3, vocab_size - 1,
+                                        active_vocab).astype(np.int64))
+        self.ids = ids
 
-    def utterance(self, idx: int, n_tokens: int):
+    def utterance(self, idx: int, n_tokens: int, no_repeat: bool = False):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         # usable ids exclude pad/eos/unk
-        toks = rng.integers(3, self.vocab_size, n_tokens)
+        toks = rng.choice(self.ids, n_tokens)
+        if no_repeat:
+            # adjacent repeats of a pure tone are acoustically one long
+            # segment (phase-continuous), so a corpus meant to be easily
+            # learnable avoids them (CTC would need duration cues to split)
+            for j in range(1, n_tokens):
+                while toks[j] == toks[j - 1]:
+                    toks[j] = rng.choice(self.ids)
         t = np.arange(self.seg_len) / self.sample_rate
         segs = []
         for v in toks:
@@ -156,7 +172,7 @@ class SyntheticCorpus:
 def load_synthetic(tokenizer, n_utts: int = 64, min_tokens: int = 3,
                    max_tokens: int = 12, ascending: bool = False,
                    subset: Optional[int] = None, seed: int = 0,
-                   **corpus_kwargs) -> AudioDataset:
+                   no_repeat: bool = False, **corpus_kwargs) -> AudioDataset:
     corp = SyntheticCorpus(tokenizer.vocab_size, seed=seed, **corpus_kwargs)
     if isinstance(subset, int):
         n_utts = min(n_utts, subset)
@@ -164,7 +180,7 @@ def load_synthetic(tokenizer, n_utts: int = 64, min_tokens: int = 3,
     lens = rng.integers(min_tokens, max_tokens + 1, n_utts)
     items, durs = [], []
     for i in range(n_utts):
-        wav, toks = corp.utterance(i, int(lens[i]))
+        wav, toks = corp.utterance(i, int(lens[i]), no_repeat=no_repeat)
         items.append((wav, toks))
         durs.append(len(wav) / corp.sample_rate)
     order = sorted(range(n_utts), key=lambda i: durs[i], reverse=not ascending)
