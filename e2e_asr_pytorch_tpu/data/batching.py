@@ -169,7 +169,8 @@ class AudioBatchIterator:
         if self.time_aug or len(self.ds) == 0:
             return False
         item0 = self.ds[0][0]
-        if not (isinstance(item0, str) and item0.endswith(".wav")):
+        if not (isinstance(item0, str)
+                and item0.endswith((".wav", ".flac"))):
             return False
         from e2e_asr_pytorch_tpu.data import native_loader
         return native_loader.available()

@@ -34,6 +34,8 @@ if _lib is not None:
                                  ctypes.POINTER(ctypes.c_float),
                                  ctypes.c_int64,
                                  ctypes.POINTER(ctypes.c_int32)]
+    _lib.dl_flac_total_samples.restype = ctypes.c_int64
+    _lib.dl_flac_total_samples.argtypes = [ctypes.c_char_p]
 
 
 def available() -> bool:
@@ -41,15 +43,29 @@ def available() -> bool:
 
 
 def read_wav_native(path: str, cap: int = 16000 * 40):
-    """Decode one WAV through the native lib: (float32 wave, rate)."""
+    """Decode one WAV/FLAC through the native lib: (float32 wave, rate)."""
     assert _lib is not None
     buf = np.zeros((cap,), np.float32)
     rate = ctypes.c_int32(0)
     n = _lib.dl_read_wav(path.encode(), buf.ctypes.data_as(
         ctypes.POINTER(ctypes.c_float)), cap, ctypes.byref(rate))
     if n < 0:
-        raise IOError("native wav decode failed: " + path)
+        raise IOError("native audio decode failed: " + path)
     return buf[:n].copy(), int(rate.value)
+
+
+def read_audio_native(path: str):
+    """One-shot native decode with an exact-size buffer (FLAC length from
+    STREAMINFO, WAV bounded by file size)."""
+    assert _lib is not None
+    if path.endswith(".flac"):
+        total = _lib.dl_flac_total_samples(path.encode())
+        if total <= 0:
+            raise IOError("cannot read FLAC STREAMINFO: " + path)
+        cap = int(total)
+    else:
+        cap = max((os.path.getsize(path) - 44) // 2, 1)
+    return read_wav_native(path, cap=cap)
 
 
 class NativeBatchLoader:
@@ -100,7 +116,18 @@ class NativeBatchLoader:
 
 
 def estimate_pcm16_samples(path: str) -> int:
-    """Sample-count estimate from file size (PCM16 mono WAV: the corpus
-    format this loader targets); the reference uses the same size-as-duration
-    proxy for sorting (corpus/preprocess_librispeech.py:69-74)."""
+    """Sample-count estimate: exact STREAMINFO count for FLAC (34-byte
+    header read), file size for PCM16 mono WAV; the reference uses the same
+    size-as-duration proxy for sorting (corpus/preprocess_librispeech.py:69-74)."""
+    if path.endswith(".flac"):
+        if _lib is not None:
+            n = _lib.dl_flac_total_samples(path.encode())
+            if n > 0:
+                return int(n)
+        from e2e_asr_pytorch_tpu.data.flac import flac_stream_info
+        info = flac_stream_info(path)
+        if info is not None and info[0] > 0:
+            return info[0]
+        # ~0.55 bytes/sample typical 16-bit mono FLAC ratio
+        return max(int(os.path.getsize(path) * 1.8) // 2, 1)
     return max((os.path.getsize(path) - 44) // 2, 1)

@@ -74,16 +74,28 @@ _FLAC_BIN = shutil.which("flac")
 
 
 def read_audio(path: str) -> Tuple[np.ndarray, int]:
-    """Decode a .wav or .flac file to (float32 mono, rate)."""
+    """Decode a .wav or .flac file to (float32 mono, rate).
+
+    FLAC (the LibriSpeech format) prefers the vendored native decoder
+    (native/dataloader.cpp), falls back to the pure-Python decoder
+    (data/flac.py), then to the `flac` CLI if present."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         with open(path, "rb") as f:
             return read_wav_bytes(f.read())
     if ext == ".flac":
-        if _FLAC_BIN is None:
-            raise RuntimeError(
-                "FLAC decode requires the `flac` CLI (not present in this "
-                "environment); convert the corpus to wav or install flac")
+        try:
+            from e2e_asr_pytorch_tpu.data import native_loader
+            if native_loader.available():
+                return native_loader.read_audio_native(path)
+        except Exception:
+            pass
+        try:
+            from e2e_asr_pytorch_tpu.data.flac import read_flac
+            return read_flac(path)
+        except Exception:
+            if _FLAC_BIN is None:
+                raise
         out = subprocess.run([_FLAC_BIN, "-d", "-c", "-s", path],
                              check=True, capture_output=True).stdout
         return read_wav_bytes(out)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from e2e_asr_pytorch_tpu.data.batching import prefetch
 from e2e_asr_pytorch_tpu.data.loaders import load_dataset
 from e2e_asr_pytorch_tpu.decode.beam import BeamConfig, beam_decode
 from e2e_asr_pytorch_tpu.decode.greedy import greedy_decode
@@ -119,7 +120,7 @@ class Solver(BaseSolver):
                     f.write("idx\tbeam\thyp\ttruth\n")
                 self.verbose("Performing batched on-device beam decoding on "
                              "{} set, num of batch = {}.".format(s, len(ds)))
-            for i, data in enumerate(ds):
+            for i, data in enumerate(prefetch(iter(ds), size=2)):
                 self.progress("Decode step - {}/{}".format(i + 1, len(ds)))
                 self._decode_batch(data, out_path,
                                    None if self.greedy else beam_path)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from e2e_asr_pytorch_tpu.data.batching import prefetch
 from e2e_asr_pytorch_tpu.data.loaders import load_dataset
 from e2e_asr_pytorch_tpu.models import asr as M
 from e2e_asr_pytorch_tpu.ops import ctc as ctc_ops
@@ -241,7 +242,10 @@ class Solver(BaseSolver):
                     pad_multiple=self.n_data)
                 self.curriculum = 0
 
-            for data in self.tr_set:
+            # host decode/pad runs 2 batches ahead of device compute
+            # (replaces the reference's DataLoader worker prefetch,
+            # src/data.py:127)
+            for data in prefetch(iter(self.tr_set), size=2):
                 tf_rate = self.tf_rate(self.step)
                 if early_stopping and self.step > stop_step:
                     use_ctc = False
@@ -318,7 +322,7 @@ class Solver(BaseSolver):
         dev_er = {"att": [], "ctc": []}
         n_batches = len(dv_set)
 
-        for i, data in enumerate(dv_set):
+        for i, data in enumerate(prefetch(iter(dv_set), size=2)):
             self.progress("Valid step - {}/{}".format(i + 1, n_batches))
             decode_step = int(np.ceil(data["txt"].shape[1] * self.DEV_STEP_RATIO))
             dev = self.put_batch(data)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from e2e_asr_pytorch_tpu.data.batching import prefetch
 from e2e_asr_pytorch_tpu.data.loaders import load_textset
 from e2e_asr_pytorch_tpu.models import lm as LM
 from e2e_asr_pytorch_tpu.ops import losses as L
@@ -101,7 +102,9 @@ class Solver(BaseSolver):
         base_rng = jax.random.PRNGKey(self.paras.seed + 1)
 
         while self.step < self.max_step:
-            for data in self.tr_set:
+            # host text batching runs ahead of device compute (reference
+            # DataLoader prefetch role, src/data.py:127)
+            for data in prefetch(iter(self.tr_set), size=2):
                 self.timer.cnt("rd")
                 rng = jax.random.fold_in(base_rng, self.step)
                 self.params, self.opt_state, loss, gnorm = self._train_step(
@@ -131,7 +134,7 @@ class Solver(BaseSolver):
     def validate(self):
         total_nll, total_tok = 0.0, 0.0
         n_batches = len(self.dv_set)
-        for i, data in enumerate(self.dv_set):
+        for i, data in enumerate(prefetch(iter(self.dv_set), size=2)):
             self.progress("Valid step - {}/{}".format(i + 1, n_batches))
             nll, cnt = self._valid_step(self.params,
                                         self.put_batch(data)["txt"])

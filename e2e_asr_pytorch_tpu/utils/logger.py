@@ -80,12 +80,27 @@ def _is_nan(v) -> bool:
 
 def feat_to_fig(feat: np.ndarray):
     """Render a TxD matrix (attention map / spectrogram) to an HWC image
-    array for TensorBoard, like reference src/util.py:91-112 but without
-    matplotlib in the hot path (simple viridis-like colorize)."""
+    array for TensorBoard, like reference src/util.py:91-112 (matplotlib
+    figure when available; hand-rolled viridis-like colorize otherwise —
+    rendering stays OFF the training hot path either way)."""
     feat = np.asarray(feat, dtype=np.float32)
     lo, hi = float(feat.min()), float(feat.max())
     norm = (feat - lo) / (hi - lo + 1e-8)
-    # 3-stop colormap: dark blue -> green -> yellow
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(6, 3), dpi=100)
+        ax.imshow(norm.T, aspect="auto", origin="lower", cmap="viridis")
+        fig.tight_layout(pad=0.2)
+        fig.canvas.draw()
+        img = np.asarray(fig.canvas.buffer_rgba())[..., :3].astype(
+            np.float32) / 255.0
+        plt.close(fig)
+        return img, "HWC"
+    except Exception:
+        pass
+    # 3-stop colormap fallback: dark blue -> green -> yellow
     stops = np.array([[68, 1, 84], [33, 145, 140], [253, 231, 37]],
                      dtype=np.float32) / 255.0
     t = np.clip(norm * 2.0, 0.0, 2.0)

@@ -1,0 +1,190 @@
+"""FLAC codec tests: Python encoder vs Python decoder vs native C++ decoder
+(bit-exact), STREAMINFO helpers, read_audio integration, the native batch
+loader over FLAC, and a LibriSpeech-layout FLAC run through the real solver.
+
+The reference decodes FLAC via libsndfile inside librosa
+(reference: src/audio.py:289); here the decoder is vendored (RFC 9639
+subset) in native/dataloader.cpp with data/flac.py as the fallback.
+"""
+
+import copy
+import os
+import sys
+import time
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from e2e_asr_pytorch_tpu.data import flac as F
+from e2e_asr_pytorch_tpu.data import native_loader as NL
+from e2e_asr_pytorch_tpu.data.wav import read_audio
+
+RNG = np.random.default_rng(7)
+
+
+def _speechy(n, c=1):
+    x = RNG.standard_normal((n + 64, c))
+    k = np.hanning(65)
+    y = np.stack([np.convolve(x[:, j], k, mode="valid") for j in range(c)], 1)
+    y = y / np.abs(y).max() * 18000
+    y = y.astype(np.int16)[:n]
+    return y[:, 0] if c == 1 else y
+
+
+CASES = [
+    ("mono-lpc", dict(use_lpc=True), _speechy(30000)),
+    ("mono-fixed-part3", dict(use_lpc=False, partition_order=3), _speechy(16000)),
+    ("verbatim", dict(force_subframe="verbatim"),
+     RNG.integers(-32768, 32767, 5000).astype(np.int16)),
+    ("constant", dict(force_subframe="constant"), np.full(5000, -42, np.int16)),
+    ("stereo-independent", dict(stereo_mode="independent"), _speechy(8000, 2)),
+    ("stereo-left-side", dict(stereo_mode="left_side"), _speechy(8000, 2)),
+    ("stereo-right-side", dict(stereo_mode="right_side"), _speechy(8000, 2)),
+    ("stereo-mid-side", dict(stereo_mode="mid_side"), _speechy(8000, 2)),
+    ("odd-small-blocks", dict(blocksize=200, partition_order=0), _speechy(3001)),
+]
+
+
+@pytest.mark.parametrize("name,kw,pcm", CASES, ids=[c[0] for c in CASES])
+def test_python_roundtrip_bit_exact(name, kw, pcm):
+    blob = F.encode_flac(pcm, 16000, **kw)
+    dec, rate, bps = F.decode_flac_bytes(blob)
+    ref = pcm if pcm.ndim == 2 else pcm[:, None]
+    assert rate == 16000 and bps == 16
+    assert dec.shape == ref.shape
+    assert np.array_equal(dec, ref.astype(np.int32))
+
+
+@pytest.mark.parametrize("name,kw,pcm", CASES, ids=[c[0] for c in CASES])
+def test_native_decoder_matches(tmp_path, name, kw, pcm):
+    if not NL.available():
+        pytest.skip("native loader unavailable")
+    p = str(tmp_path / (name + ".flac"))
+    F.write_flac(p, pcm, 16000, **kw)
+    wav, rate = NL.read_audio_native(p)
+    ref = pcm if pcm.ndim == 2 else pcm[:, None]
+    expect = ref.astype(np.float64).mean(1) / 32768.0
+    assert rate == 16000
+    assert len(wav) == len(expect)
+    np.testing.assert_allclose(wav, expect, atol=1e-6)
+
+
+def test_stream_info_and_estimate(tmp_path):
+    pcm = _speechy(12345)
+    p = str(tmp_path / "x.flac")
+    F.write_flac(p, pcm, 16000)
+    assert F.flac_stream_info(p)[:2] == (12345, 16000)
+    assert NL.estimate_pcm16_samples(p) == 12345
+
+
+def test_read_audio_flac_fallback_chain(tmp_path):
+    pcm = _speechy(9000)
+    p = str(tmp_path / "utt.flac")
+    F.write_flac(p, pcm, 16000)
+    wav, rate = read_audio(p)
+    np.testing.assert_allclose(wav, pcm.astype(np.float32) / 32768.0,
+                               atol=1e-6)
+    assert rate == 16000
+    # pure-Python fallback agrees
+    wav_py, rate_py = F.read_flac(p)
+    np.testing.assert_allclose(wav_py, wav, atol=1e-7)
+
+
+def test_native_batch_loader_flac(tmp_path):
+    if not NL.available():
+        pytest.skip("native loader unavailable")
+    paths, pcms = [], []
+    for i in range(6):
+        pcm = _speechy(4000 + 911 * i)
+        p = str(tmp_path / ("u%d.flac" % i))
+        F.write_flac(p, pcm, 16000)
+        paths.append(p)
+        pcms.append(pcm)
+    loader = NL.NativeBatchLoader(n_workers=3)
+    try:
+        loader.submit(paths[:3], 10000)
+        loader.submit(paths[3:], 10000)
+        for b, sl in enumerate([slice(0, 3), slice(3, 6)]):
+            wav, lens = loader.wait()
+            for row, pcm in enumerate(pcms[sl]):
+                assert lens[row] == len(pcm)
+                np.testing.assert_allclose(
+                    wav[row, :len(pcm)], pcm.astype(np.float32) / 32768.0,
+                    atol=1e-6)
+    finally:
+        loader.close()
+
+
+@pytest.mark.slow
+def test_native_flac_throughput_exceeds_step_rate(tmp_path):
+    """VERDICT r1 #6: loader throughput must beat the training step rate
+    (~44 utts/s on the bench shape) so input never gates the device."""
+    if not NL.available():
+        pytest.skip("native loader unavailable")
+    n = 16000 * 10  # 10-second utterances, realistic LibriSpeech length
+    paths = []
+    for i in range(16):
+        p = str(tmp_path / ("u%d.flac" % i))
+        F.write_flac(p, _speechy(n), 16000)
+        paths.append(p)
+    loader = NL.NativeBatchLoader(n_workers=4)
+    try:
+        t0 = time.time()
+        reps = 4
+        for _ in range(reps):
+            loader.submit(paths, n)
+        for _ in range(reps):
+            loader.wait()
+        dt = time.time() - t0
+    finally:
+        loader.close()
+    utts_per_sec = reps * len(paths) / dt
+    assert utts_per_sec > 60, utts_per_sec
+
+
+def test_flac_corpus_through_solver(tmp_path):
+    """LibriSpeech-layout FLAC corpus end-to-end through the real ASR
+    solver (the format the reference trains on)."""
+    from e2e_asr_pytorch_tpu.data.librispeech import load_librispeech
+    from e2e_asr_pytorch_tpu.data.tokenizer import load_text_encoder
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+    from tests.test_integration import TINY_ASR, _paras
+
+    root = tmp_path / "LibriSpeech"
+    words = ["HELLO", "WORLD", "SPEECH", "AUDIO"]
+    for split, spk in [("train-clean-100", "19"), ("dev-clean", "84")]:
+        chap = root / split / spk / "1"
+        chap.mkdir(parents=True)
+        lines = []
+        for utt in range(6):
+            utt_id = "{}-1-{:04d}".format(spk, utt)
+            m = int(RNG.integers(3000, 12000))
+            wave = (0.3 * np.sin(2 * np.pi * (300 + 50 * utt)
+                                 * np.arange(m) / 16000) * 32767)
+            F.write_flac(str(chap / (utt_id + ".flac")),
+                         wave.astype(np.int16), 16000)
+            lines.append("{} {}".format(
+                utt_id, " ".join(RNG.choice(words, RNG.integers(2, 5)))))
+        (chap / "{}-1.trans.txt".format(spk)).write_text(
+            "\n".join(lines) + "\n")
+
+    tok = load_text_encoder(
+        "character", os.path.join(ROOT, "corpus", "librispeech_char.txt"))
+    ds = load_librispeech(str(root), ["train-clean-100"], tok)
+    assert len(ds) == 6 and ds.items[0][0].endswith(".flac")
+
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["data"]["corpus"] = {"name": "librispeech", "path": str(root),
+                             "train_split": ["train-clean-100"],
+                             "dev_split": ["dev-clean"], "bucketing": True,
+                             "batch_size": 3}
+    cfg["hparas"]["max_step"] = 2
+    cfg["hparas"]["valid_step"] = 2
+    s = Solver(cfg, _paras(tmp_path), "train")
+    s.load_data()
+    s.set_model()
+    s.exec()
+    assert s.step >= 2
