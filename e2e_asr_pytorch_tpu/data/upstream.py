@@ -5,15 +5,29 @@ The reference can swap its fbank front-end for S3PRL upstream models via
 vgg=7 frontend). S3PRL isn't available in this environment, so the
 capability is exposed as a registry: an upstream is a callable
 (wav (B,S) f32, wav_len (B,)) -> (feat (B,T,D) f32, feat_len (B,)) plus its
-output dim. A built-in 'fbank80' upstream demonstrates the contract; users
-register their own (e.g. a JAX wav2vec port) with @register_upstream.
+output dim. Unlike the reference (whose torch upstream runs OUTSIDE the
+train graph, bin/train_asr.py:32-63), these are JAX functions that jit into
+the same program as the downstream model.
+
+Built-ins:
+  * ``fbank80``  — 80-dim log-mel (contract demo / APC input features);
+  * ``apc``      — pretrained Autoregressive Predictive Coding LSTM encoder
+    (models/apc.py); loads weights from $APC_CKPT (default ``ckpt/apc.npz``),
+    pretrain with ``python util/train_apc.py``. This mirrors the reference's
+    ``--upstream apc`` debug recipe (script/debug/s3prl_train.sh).
+
+Register your own with @register_upstream (eager, fixed dim) or
+register_upstream_factory (lazy: resolves to (fn, dim) on first use — for
+upstreams whose dim depends on loaded weights).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Tuple
 
 _REGISTRY: Dict[str, Tuple[Callable, int]] = {}
+_FACTORIES: Dict[str, Callable[[], Tuple[Callable, int]]] = {}
 
 
 def register_upstream(name: str, out_dim: int):
@@ -23,12 +37,19 @@ def register_upstream(name: str, out_dim: int):
     return deco
 
 
+def register_upstream_factory(name: str, factory):
+    """Lazy registration: `factory() -> (fn, out_dim)` runs on first use."""
+    _FACTORIES[name] = factory
+
+
 def get_upstream(name: str):
+    if name not in _REGISTRY and name in _FACTORIES:
+        _REGISTRY[name] = _FACTORIES[name]()
     if name not in _REGISTRY:
         raise KeyError(
             "upstream `{}` is not registered (available: {}). Register one "
             "with e2e_asr_pytorch_tpu.data.upstream.register_upstream".format(
-                name, sorted(_REGISTRY)))
+                name, sorted(set(_REGISTRY) | set(_FACTORIES))))
     return _REGISTRY[name]
 
 
@@ -41,4 +62,19 @@ def _builtin_fbank80():
         return extract_features(cfg, wav, wav_len)
 
 
+def _builtin_apc():
+    """APC upstream: weights from $APC_CKPT (default ckpt/apc.npz)."""
+    from e2e_asr_pytorch_tpu.models import apc as A
+    path = os.environ.get("APC_CKPT", os.path.join("ckpt", "apc.npz"))
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            "APC upstream weights not found at `{}`. Pretrain them with "
+            "`python util/train_apc.py --out {}` (any LibriSpeech-layout "
+            "or synthetic corpus), or point $APC_CKPT at an existing "
+            "checkpoint.".format(path, path))
+    params, spec = A.load_apc(path)
+    return A.make_upstream(params, spec), spec.hidden
+
+
 _builtin_fbank80()
+register_upstream_factory("apc", _builtin_apc)

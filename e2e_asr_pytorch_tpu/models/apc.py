@@ -1,0 +1,175 @@
+"""Autoregressive Predictive Coding (APC) upstream feature extractor.
+
+A genuine pretrained upstream for the --upstream hook (the reference pulls
+`apc` from torch.hub/S3PRL at train time, reference: bin/train_asr.py:32-63,
+script/debug/s3prl_train.sh). APC (Chung et al., 2019): a stack of
+unidirectional LSTMs over log-mel features trained to predict the features
+``time_shift`` frames ahead with an L1 objective; the last layer's hidden
+states are the representation.
+
+TPU-native: the whole extractor is a jitted JAX function built from the same
+scan/Pallas LSTM layers as the ASR encoder (ops/rnn.py), so — unlike the
+reference, which runs its torch upstream OUTSIDE the training graph — the
+APC forward fuses into the downstream train step.
+
+Workflow: ``python util/train_apc.py`` pretrains on any corpus and writes an
+.npz checkpoint; ``--upstream apc`` (data/upstream.py) loads it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_pytorch_tpu.ops import rnn as R
+from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+
+
+class APCSpec(NamedTuple):
+    input_dim: int = 80      # log-mel bank size
+    hidden: int = 512
+    n_layers: int = 3
+    time_shift: int = 3      # predict n frames ahead
+    dropout: float = 0.0
+
+    @property
+    def feature_config(self) -> FeatureConfig:
+        return FeatureConfig(feat_type="fbank", feat_dim=self.input_dim,
+                             delta_order=0, apply_cmvn=True)
+
+
+def apc_init(key: jax.Array, spec: APCSpec) -> Dict:
+    keys = jax.random.split(key, spec.n_layers + 1)
+    layers = []
+    in_dim = spec.input_dim
+    for l in range(spec.n_layers):
+        layers.append(R.lstm_init(keys[l], in_dim, spec.hidden))
+        in_dim = spec.hidden
+    head = R.espnet_linear_init(keys[-1], spec.hidden, spec.input_dim)
+    return {"layers": layers, "head": head}
+
+
+def apc_encode(params: Dict, spec: APCSpec, feat: jnp.ndarray,
+               train: bool = False, rng=None,
+               compute_dtype=jnp.float32) -> jnp.ndarray:
+    """(B,T,input_dim) features -> (B,T,hidden) last-layer hidden states."""
+    outs = feat
+    for l, p in enumerate(params["layers"]):
+        outs, _ = R.lstm_layer(p, outs, compute_dtype=compute_dtype)
+        if train and spec.dropout > 0 and l < spec.n_layers - 1 \
+                and rng is not None:
+            rng, sub = jax.random.split(rng)
+            keep = 1.0 - spec.dropout
+            outs = outs * jax.random.bernoulli(sub, keep, outs.shape) / keep
+    return outs
+
+
+def apc_loss(params: Dict, spec: APCSpec, feat: jnp.ndarray,
+             feat_len: jnp.ndarray, train: bool = True, rng=None,
+             compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Masked L1 between head(hidden[t]) and feat[t + time_shift]."""
+    h = apc_encode(params, spec, feat, train=train, rng=rng,
+                   compute_dtype=compute_dtype)
+    pred = R.linear(params["head"], h, compute_dtype)
+    n = spec.time_shift
+    err = jnp.abs(pred[:, :-n] - feat[:, n:])            # (B,T-n,D)
+    t = err.shape[1]
+    # frame t is supervised iff t+n is a real frame
+    valid = (jnp.arange(t)[None, :] < (feat_len[:, None] - n))
+    err = err * valid[:, :, None]
+    denom = jnp.maximum(valid.sum(), 1) * feat.shape[-1]
+    return err.sum() / denom
+
+
+def make_upstream(params: Dict, spec: APCSpec):
+    """Build the (wav, wav_len) -> (feat, feat_len) upstream callable."""
+    cfg = spec.feature_config
+
+    def apc_upstream(wav, wav_len):
+        feat, feat_len = extract_features(cfg, wav, wav_len)
+        reps = apc_encode(params, spec, feat, train=False,
+                          compute_dtype=jnp.bfloat16)
+        return reps.astype(jnp.float32), feat_len
+
+    return apc_upstream
+
+
+# ------------------------------------------------------------ persistence
+
+def save_apc(path: str, params: Dict, spec: APCSpec) -> None:
+    flat = {"spec": np.array([spec.input_dim, spec.hidden, spec.n_layers,
+                              spec.time_shift], np.int64),
+            "dropout": np.float64(spec.dropout)}
+    for l, p in enumerate(params["layers"]):
+        for k, v in p.items():
+            flat["layer%d/%s" % (l, k)] = np.asarray(v)
+    for k, v in params["head"].items():
+        flat["head/%s" % k] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_apc(path: str) -> Tuple[Dict, APCSpec]:
+    z = np.load(path)
+    si = z["spec"]
+    spec = APCSpec(int(si[0]), int(si[1]), int(si[2]), int(si[3]),
+                   float(z["dropout"]))
+    layers = []
+    for l in range(spec.n_layers):
+        pre = "layer%d/" % l
+        layers.append({k[len(pre):]: jnp.asarray(z[k]) for k in z.files
+                       if k.startswith(pre)})
+    head = {k[5:]: jnp.asarray(z[k]) for k in z.files if k.startswith("head/")}
+    return {"layers": layers, "head": head}, spec
+
+
+# --------------------------------------------------------------- training
+
+def pretrain_apc(batches, spec: APCSpec, steps: int, lr: float = 1e-3,
+                 seed: int = 0, log_every: int = 50, verbose=print) -> Dict:
+    """Pretrain APC over an iterable of (wav (B,S) f32, wav_len (B,) i32)
+    host batches (cycled if exhausted). Returns trained params."""
+    import optax
+
+    cfg = spec.feature_config
+    params = apc_init(jax.random.PRNGKey(seed), spec)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, wav, wav_len, rng):
+        feat, feat_len = extract_features(cfg, wav, wav_len)
+
+        def loss_fn(p):
+            return apc_loss(p, spec, feat, feat_len, train=True, rng=rng,
+                            compute_dtype=jnp.bfloat16)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    base_rng = jax.random.PRNGKey(seed + 1)
+    it = iter(batches)
+    first_loss = last_loss = None
+    for step in range(steps):
+        try:
+            wav, wav_len = next(it)
+        except StopIteration:
+            it = iter(batches)
+            wav, wav_len = next(it)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(wav), jnp.asarray(wav_len),
+            jax.random.fold_in(base_rng, step))
+        if step == 0:
+            first_loss = float(loss)
+        if step % log_every == 0 or step == steps - 1:
+            last_loss = float(loss)
+            verbose("APC pretrain step {}/{} | L1 {:.4f}".format(
+                step + 1, steps, last_loss))
+    if first_loss is not None and last_loss is not None:
+        verbose("APC pretrain done: L1 {:.4f} -> {:.4f}".format(
+            first_loss, last_loss))
+    return params

@@ -1,0 +1,116 @@
+"""APC upstream: pretraining learns, weights roundtrip, and the `apc`
+registry entry drives the ASR solver end-to-end through the Featemb (vgg=7)
+frontend — the real-upstream capability the reference reaches via
+torch.hub/S3PRL (reference: bin/train_asr.py:32-63)."""
+
+import copy
+import os
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from e2e_asr_pytorch_tpu.models import apc as A
+from tests.test_integration import TINY_ASR, _paras
+
+TINY_SPEC = A.APCSpec(input_dim=20, hidden=24, n_layers=1, time_shift=2)
+
+
+def _tone_waves(n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    waves = []
+    for i in range(n):
+        m = int(rng.integers(8000, 16000))
+        t = np.arange(m) / 16000.0
+        w = 0.3 * np.sin(2 * np.pi * (250 + 40 * (i % 5)) * t)
+        waves.append(w.astype(np.float32))
+    return waves
+
+
+def _batches(waves, batch=4, n_s=12000, seed=0):
+    rng = np.random.default_rng(seed)
+    while True:
+        wav = np.zeros((batch, n_s), np.float32)
+        lens = np.zeros((batch,), np.int32)
+        for i in range(batch):
+            w = waves[rng.integers(len(waves))][:n_s]
+            wav[i, :len(w)] = w
+            lens[i] = len(w)
+        yield wav, lens
+
+
+def test_pretrain_reduces_loss():
+    losses = []
+    A.pretrain_apc(_batches(_tone_waves()), TINY_SPEC, steps=30, lr=3e-3,
+                   log_every=29,
+                   verbose=lambda m: losses.append(m))
+    # "APC pretrain done: L1 a -> b" is the last message
+    first, last = losses[-1].split(":")[1].split("->")
+    assert float(last) < 0.7 * float(first.split()[-1]), losses[-1]
+
+
+def test_save_load_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    params = A.apc_init(jax.random.PRNGKey(0), TINY_SPEC)
+    p = str(tmp_path / "apc.npz")
+    A.save_apc(p, params, TINY_SPEC)
+    params2, spec2 = A.load_apc(p)
+    assert spec2 == TINY_SPEC
+    feat = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 30, TINY_SPEC.input_dim)), jnp.float32)
+    h1 = A.apc_encode(params, TINY_SPEC, feat)
+    h2 = A.apc_encode(params2, spec2, feat)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+    assert h1.shape == (2, 30, TINY_SPEC.hidden)
+
+
+def test_upstream_callable_shapes(tmp_path):
+    import jax
+    params = A.apc_init(jax.random.PRNGKey(1), TINY_SPEC)
+    fn = A.make_upstream(params, TINY_SPEC)
+    wav = np.zeros((2, 8000), np.float32)
+    wav[:, :6000] = 0.1
+    feat, feat_len = fn(wav, np.array([8000, 6000], np.int32))
+    assert feat.shape[0] == 2 and feat.shape[2] == TINY_SPEC.hidden
+    assert int(feat_len[1]) <= int(feat_len[0])
+
+
+def test_apc_upstream_through_solver(tmp_path, monkeypatch):
+    """Pretrained APC -> $APC_CKPT -> --upstream apc -> Featemb vgg=7 ->
+    full train step, end-to-end."""
+    import jax
+    from e2e_asr_pytorch_tpu.data import upstream as U
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+
+    ck = str(tmp_path / "apc.npz")
+    params = A.pretrain_apc(_batches(_tone_waves()), TINY_SPEC, steps=3,
+                            lr=1e-3, verbose=lambda m: None)
+    A.save_apc(ck, params, TINY_SPEC)
+    monkeypatch.setenv("APC_CKPT", ck)
+    U._REGISTRY.pop("apc", None)  # force factory re-resolution
+
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["hparas"]["max_step"] = 2
+    cfg["hparas"]["valid_step"] = 2
+    cfg["model"]["encoder"]["vgg"] = 7  # featemb consumes upstream features
+    paras = _paras(tmp_path)
+    paras.upstream = "apc"
+    s = Solver(cfg, paras, "train")
+    s.load_data()
+    assert s.feat_dim == TINY_SPEC.hidden
+    s.set_model()
+    s.exec()
+    assert s.step >= 2
+    U._REGISTRY.pop("apc", None)  # don't leak the tiny ckpt to other tests
+
+
+def test_missing_ckpt_error_message(monkeypatch, tmp_path):
+    from e2e_asr_pytorch_tpu.data import upstream as U
+    monkeypatch.setenv("APC_CKPT", str(tmp_path / "nope.npz"))
+    U._REGISTRY.pop("apc", None)
+    with pytest.raises(FileNotFoundError, match="train_apc"):
+        U.get_upstream("apc")

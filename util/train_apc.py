@@ -1,0 +1,107 @@
+"""Pretrain the APC upstream feature extractor and save loadable weights.
+
+Equivalent role to fetching a pretrained S3PRL upstream in the reference
+(reference: bin/train_asr.py:32-63 via torch.hub) — this environment has no
+network, so the upstream is pretrained locally instead:
+
+    python util/train_apc.py --corpus /path/to/LibriSpeech --out ckpt/apc.npz
+    python util/train_apc.py --corpus synthetic --steps 200   # smoke
+
+Then train ASR on top of it:
+
+    python main.py --config config/librispeech_asr.yaml --upstream apc
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def wav_batches(paths_or_waves, batch: int, seconds: float, seed: int = 0,
+                sample_rate: int = 16000):
+    """Yield (B,S) float32 crops + lengths, forever (random crop/pad)."""
+    from e2e_asr_pytorch_tpu.data.wav import read_audio, resample_linear
+    rng = np.random.default_rng(seed)
+    n_s = int(seconds * sample_rate)
+    while True:
+        wav = np.zeros((batch, n_s), np.float32)
+        wav_len = np.zeros((batch,), np.int32)
+        for i in range(batch):
+            item = paths_or_waves[rng.integers(len(paths_or_waves))]
+            if isinstance(item, str):
+                w, sr = read_audio(item)
+                w = resample_linear(w, sr, sample_rate)
+            else:
+                w = np.asarray(item, np.float32)
+            if len(w) > n_s:
+                ofs = int(rng.integers(0, len(w) - n_s + 1))
+                w = w[ofs:ofs + n_s]
+            wav[i, :len(w)] = w
+            wav_len[i] = len(w)
+        yield wav, wav_len
+
+
+def collect_corpus(corpus: str, n_utts: int):
+    if corpus == "synthetic":
+        from e2e_asr_pytorch_tpu.data.librispeech import SyntheticCorpus
+        corp = SyntheticCorpus(31)
+        rng = np.random.default_rng(0)
+        return [corp.utterance(i, int(rng.integers(4, 12)))[0]
+                for i in range(n_utts)]
+    paths = []
+    for dirpath, _, files in os.walk(corpus):
+        for f in sorted(files):
+            if f.endswith((".flac", ".wav")):
+                paths.append(os.path.join(dirpath, f))
+        if len(paths) >= n_utts:
+            break
+    if not paths:
+        raise SystemExit("no .flac/.wav under " + corpus)
+    return paths[:n_utts]
+
+
+def main():
+    ap = argparse.ArgumentParser(description="APC upstream pretraining")
+    ap.add_argument("--corpus", required=True,
+                    help="LibriSpeech-layout dir, or `synthetic`")
+    ap.add_argument("--out", default="ckpt/apc.npz")
+    ap.add_argument("--steps", type=int, default=10000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--seconds", type=float, default=4.0)
+    ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--shift", type=int, default=3)
+    ap.add_argument("--dropout", type=float, default=0.0)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--mel", type=int, default=80)
+    ap.add_argument("--n-utts", type=int, default=100000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from e2e_asr_pytorch_tpu.models import apc as A
+    spec = A.APCSpec(input_dim=args.mel, hidden=args.hidden,
+                     n_layers=args.layers, time_shift=args.shift,
+                     dropout=args.dropout)
+    items = collect_corpus(args.corpus, args.n_utts)
+    print("[apc] {} utterances from {}".format(len(items), args.corpus))
+    batches = wav_batches(items, args.batch, args.seconds, args.seed)
+    params = A.pretrain_apc(batches, spec, args.steps, lr=args.lr,
+                            seed=args.seed)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    A.save_apc(args.out, params, spec)
+    print("[apc] saved to {} (use --upstream apc with APC_CKPT={})".format(
+        args.out, args.out))
+
+
+if __name__ == "__main__":
+    main()
