@@ -81,10 +81,17 @@ class AudioBatchIterator:
                  shuffle: Optional[bool] = None, drop_last: Optional[bool] = None,
                  buckets: Optional[ShapeBuckets] = None, seed: int = 0,
                  half_batch: bool = True, time_aug: bool = False,
-                 pad_multiple: int = 1, njobs: int = 0):
+                 pad_multiple: int = 1, njobs: int = 0,
+                 host_rows: Optional[Tuple[int, int]] = None):
         self.ds = dataset
         self.batch_size = batch_size
         self.mode = mode
+        # multi-host input sharding: host p of n decodes only its contiguous
+        # row slice of every global batch (all hosts iterate the SAME group
+        # order — same seed required across hosts); the solver reassembles
+        # the global array via jax.make_array_from_process_local_data.
+        # None or (0,1) = single-host (the default decode-first path).
+        self.host_rows = None if host_rows in (None, (0, 1)) else host_rows
         # --njobs parity (reference src/data.py:127): number of host decode
         # workers; 0 = synchronous single worker
         self.njobs = max(0, njobs)
@@ -165,6 +172,76 @@ class AudioBatchIterator:
         return {"name": names, "wav": wav, "wav_len": wav_len,
                 "txt": txt, "txt_len": txt_len, "utt_w": utt_w}
 
+    def _item_samples(self, item) -> int:
+        """Header-level length estimate (exact for wav/flac/arrays)."""
+        if isinstance(item, str):
+            from e2e_asr_pytorch_tpu.data.native_loader import \
+                estimate_pcm16_samples
+            return estimate_pcm16_samples(item)
+        return len(item)
+
+    def _emit_hosted(self, idxs: List[int]) -> Dict[str, np.ndarray]:
+        """Per-host emission: same global plan (halving, bucket caps,
+        padded global batch) on every host, but only this host's contiguous
+        row slice is decoded and returned."""
+        p, n = self.host_rows
+        sizes = [self._item_samples(self.ds[i][0]) for i in idxs]
+        frames = max(sizes) // HOP
+        if (self.half_batch and self.mode == "train"
+                and frames > HALF_BATCHSIZE_AUDIO_LEN and len(idxs) > 1):
+            idxs, sizes = idxs[::2], sizes[::2]
+        max_l = max(len(self.ds[i][1]) for i in idxs)
+        cap_s, cap_l = self.buckets.lookup(max(sizes), max_l)
+        n_real = len(idxs)
+        b_global = _round_up(_round_up(n_real, n), self.pad_multiple)
+        rows = b_global // n
+        lo = p * rows
+        local_idxs = idxs[lo:min(lo + rows, n_real)]
+
+        wav = np.zeros((rows, cap_s), np.float32)
+        txt = np.zeros((rows, cap_l), np.int32)
+        wav_len = np.zeros((rows,), np.int32)
+        txt_len = np.zeros((rows,), np.int32)
+        utt_w = np.zeros((rows,), np.float32)
+        names = []
+        # rng draw order must match across hosts -> one fold per global batch
+        aug_rng = (np.random.default_rng(self.rng.integers(2 ** 31))
+                   if self.time_aug else None)
+        if not local_idxs:
+            # all-padding slice: decode one real row so features stay finite
+            local_idxs = [idxs[0]]
+            pad_only = True
+        else:
+            pad_only = False
+        items = [self.ds[i] for i in local_idxs]
+        if self.njobs > 1 and isinstance(items[0][0], str):
+            wavs = list(self._decode_pool().map(_decode,
+                                                [it[0] for it in items]))
+        else:
+            wavs = [_decode(it[0]) for it in items]
+        if aug_rng is not None:
+            from e2e_asr_pytorch_tpu.data.augment_time import augment_waveform
+            wavs = [augment_waveform(w, aug_rng) for w in wavs]
+        for j, (it, w) in enumerate(zip(items, wavs)):
+            t = np.asarray(it[1], np.int32)
+            s, l = min(len(w), cap_s), min(len(t), cap_l)
+            wav[j, :s] = w[:s]
+            txt[j, :l] = t[:l]
+            wav_len[j] = s
+            txt_len[j] = int((t[:l] != 0).sum())
+            utt_w[j] = 0.0 if pad_only else 1.0
+            names.append(it[0] if isinstance(it[0], str)
+                         else "utt%d" % local_idxs[j])
+        n_local = len(items)
+        if n_local < rows:  # replicate the first local row into padding
+            wav[n_local:] = wav[0]
+            txt[n_local:] = txt[0]
+            wav_len[n_local:] = wav_len[0]
+            txt_len[n_local:] = txt_len[0]
+        return {"name": names, "wav": wav, "wav_len": wav_len,
+                "txt": txt, "txt_len": txt_len, "utt_w": utt_w,
+                "global_batch": b_global}
+
     def _native_usable(self) -> bool:
         if self.time_aug or len(self.ds) == 0:
             return False
@@ -234,6 +311,10 @@ class AudioBatchIterator:
         order = np.arange(len(self.groups))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.host_rows is not None:
+            for gi in order:
+                yield self._emit_hosted(self.groups[gi])
+            return
         if self._native_usable():
             yield from self._iter_native(order)
             return

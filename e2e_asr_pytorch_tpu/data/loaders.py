@@ -48,6 +48,19 @@ def _data_msg(name, path, train_split, n_tr, dev_split, n_dv, batch_size,
     ]
 
 
+def _host_rows():
+    """Multi-host input sharding spec for the TRAIN iterator: host p of n
+    decodes only its row slice of each global batch (put_batch reassembles
+    the global array over DCN). Single-process -> None (default path)."""
+    try:
+        import jax
+        if jax.process_count() > 1:
+            return (jax.process_index(), jax.process_count())
+    except Exception:
+        pass
+    return None
+
+
 def load_dataset(njobs: int, use_gpu: bool, pin_memory: bool,
                  ascending: bool, corpus: Dict, audio: Dict, text: Dict,
                  mode: str = "train", seed: int = 0, pad_multiple: int = 1):
@@ -77,7 +90,8 @@ def load_dataset(njobs: int, use_gpu: bool, pin_memory: bool,
                                    shuffle=not ascending,
                                    drop_last=not ascending, seed=seed,
                                    time_aug=bool(audio.get("time_aug", False)),
-                                   pad_multiple=pad_multiple, njobs=njobs)
+                                   pad_multiple=pad_multiple, njobs=njobs,
+                                   host_rows=_host_rows())
         if dev_split and isinstance(dev_split[0], list):
             dv_its = []
             n_dv = 0

@@ -3,11 +3,15 @@
 Capability parity with the reference's bert_embedding module (reference:
 src/bert_embedding.py:9-87): wraps a fine-tuned masked-LM BERT, resizes its
 embeddings to a sentencepiece vocab, and produces target embeddings as the
-sum of all encoder layers' hidden states. The heavy model runs on the torch
-CPU backend strictly OFFLINE (pretrained weights must exist locally — this
-environment has no network); the resulting (V,D) table is exported once and
-consumed by models/plugin.py on TPU, so BERT never sits in the training hot
-path.
+sum of all encoder layers' hidden states. Weights must exist locally (no
+network). Two consumption modes:
+
+  * ON-LINE (reference parity): models/plugin.py holds the predictor and the
+    training solver calls ``predict`` per batch on the torch CPU backend;
+    the (B,L,D) contextual targets are fed into the jitted TPU step as a
+    plain array input, so BERT itself never enters the XLA program.
+  * OFFLINE: ``embedding_table``/``export_fasttext_table`` dump a (V,D)
+    per-token table once, consumed as a regular `src` table.
 """
 
 from __future__ import annotations
@@ -35,6 +39,10 @@ class BertEmbeddingPredictor:
             # sentencepiece vocab: resize BERT's embedding matrix like the
             # reference (src/bert_embedding.py:23-30)
             self.model.resize_token_embeddings(tokenizer.vocab_size)
+
+    @property
+    def hidden_size(self) -> int:
+        return int(self.model.config.hidden_size)
 
     def predict(self, token_ids: np.ndarray) -> np.ndarray:
         """(B,L) ids -> (B,L,D) summed-all-layers hidden states."""

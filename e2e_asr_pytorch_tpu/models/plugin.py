@@ -9,9 +9,13 @@ distribution is fused with an embedding-similarity distribution
 with fixed / learnable / vocab-wise λ and τ (reference src/plugin.py:105-126).
 
 Embedding targets come from a fasttext-format table (reference
-src/util.py:142-172) or any (V,D) array (the BERT path accepts precomputed
-target embeddings; the reference's on-line BertEmbeddingPredictor requires
-pytorch_pretrained_bert, which this environment lacks).
+src/util.py:142-172) or — when the ``bert`` key is set — from an ON-LINE
+BertEmbeddingPredictor that computes contextual target embeddings from the
+transcript batch at train time (reference src/plugin.py:15-23,
+src/bert_embedding.py:38-60). The BERT forward runs on host (torch CPU);
+its (B,L,D) targets enter the jitted step as a plain array input. Fusion
+requires a static table and is unavailable in BERT mode (same de-facto
+restriction as the reference, whose fuse_prob reads emb_table.weight).
 """
 
 from __future__ import annotations
@@ -85,12 +89,21 @@ class EmbeddingRegularizer:
     """Holds the static spec + target table; params live in the main pytree
     (under 'emb_plugin') so they train/checkpoint with the model."""
 
-    def __init__(self, spec: EmbPluginSpec, params: Dict):
+    def __init__(self, spec: EmbPluginSpec, params: Dict, predictor=None):
         self.spec = spec
         self.params = params
         self.weight = spec.weight
         self.apply_fuse = spec.apply_fuse
         self.fuse_learnable = spec.fuse_learnable
+        # on-line BERT target predictor (host-side); None = table targets
+        self.predictor = predictor
+
+    def predict_targets(self, label_np) -> Optional[np.ndarray]:
+        """Host-side contextual target embeddings for a (B,L) id batch, or
+        None when this plugin uses table targets."""
+        if self.predictor is None:
+            return None
+        return self.predictor.predict(np.asarray(label_np)).astype(np.float32)
 
     def create_msg(self):
         msg = ["Plugin.    | Word embedding regularization enabled "
@@ -148,17 +161,22 @@ class EmbeddingRegularizer:
 
     def loss(self, params: Dict, dec_state: jnp.ndarray,
              dec_logit: jnp.ndarray, label: jnp.ndarray,
-             utt_w: jnp.ndarray = None
+             utt_w: jnp.ndarray = None, y_emb: jnp.ndarray = None
              ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """Returns (emb regression loss, fused log-prob or None).
 
         dec_state: (B,L,H) decoder states; label: (B,L) target ids;
-        utt_w: optional (B,) weights (0 = mesh-padding row, excluded)."""
+        utt_w: optional (B,) weights (0 = mesh-padding row, excluded);
+        y_emb: optional (B,L,D) precomputed contextual targets (the on-line
+        BERT path) — otherwise targets come from the table lookup."""
         x_emb = self.emb_project(params, dec_state, train=True)
-        table = params["emb_table"]
-        if self.spec.freeze:
-            table = jax.lax.stop_gradient(table)
-        y_emb = table[label]
+        if y_emb is None:
+            table = params["emb_table"]
+            if self.spec.freeze:
+                table = jax.lax.stop_gradient(table)
+            y_emb = table[label]
+        else:
+            y_emb = jax.lax.stop_gradient(y_emb)
         if self.spec.distance == "CosEmb":
             num = jnp.sum(x_emb * y_emb, -1)
             den = (jnp.linalg.norm(x_emb, axis=-1) *
@@ -193,12 +211,22 @@ def build(emb_cfg: Dict, tokenizer, dec_dim: int,
     cfg.pop("enable", None)
     src = cfg.pop("src", None)
     bert = cfg.pop("bert", None)
+    predictor = None
     if bert is not None:
-        raise NotImplementedError(
-            "on-line BERT target embeddings need pytorch_pretrained_bert; "
-            "precompute a fasttext-format table and pass it as `src` instead")
-    table = load_embedding_table(tokenizer, src)
-    vocab_size, emb_dim = table.shape
+        # reference semantics (src/plugin.py:15-23): `bert` flags the mode,
+        # `src` is the (fine-tuned) local model path
+        from e2e_asr_pytorch_tpu.models.bert_embedding import \
+            BertEmbeddingPredictor
+        if cfg.get("fuse", 0) != 0:
+            raise ValueError("embedding fusion needs table targets; it is "
+                             "unavailable with on-line BERT targets (same "
+                             "restriction as the reference)")
+        predictor = BertEmbeddingPredictor(src, tokenizer)
+        vocab_size, emb_dim = tokenizer.vocab_size, predictor.hidden_size
+        table = None
+    else:
+        table = load_embedding_table(tokenizer, src)
+        vocab_size, emb_dim = table.shape
     spec = EmbPluginSpec(
         dim=emb_dim, dec_dim=dec_dim, distance=cfg.pop("distance", "CosEmb"),
         weight=cfg.pop("weight", 1.0), fuse=cfg.pop("fuse", 0),
@@ -209,13 +237,15 @@ def build(emb_cfg: Dict, tokenizer, dec_dim: int,
     k1, k2 = jax.random.split(key)
     hidden = (emb_dim + dec_dim) // 2
     params = {
-        "emb_table": jnp.asarray(table),
         "net1": espnet_linear_init(k1, dec_dim, hidden),
         "net2": espnet_linear_init(k2, hidden, emb_dim),
         "fuse_lambda": (jnp.full((vocab_size,), 0.5) if spec.fuse == -2 else
-                        jnp.asarray([0.5 if spec.fuse == -1 else spec.fuse])),
+                        jnp.asarray([0.5 if spec.fuse == -1
+                                     else float(spec.fuse)], jnp.float32)),
         "temp": (jnp.ones((vocab_size,)) if spec.temperature == -2 else
                  jnp.asarray([1.0 if spec.temperature == -1
-                              else spec.temperature])),
+                              else float(spec.temperature)], jnp.float32)),
     }
-    return EmbeddingRegularizer(spec, params)
+    if table is not None:
+        params["emb_table"] = jnp.asarray(table)
+    return EmbeddingRegularizer(spec, params, predictor=predictor)

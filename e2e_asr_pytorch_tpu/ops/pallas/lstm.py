@@ -16,8 +16,18 @@ one pallas_call with a sequential grid over T, so:
     dh-chain matmul per step instead of recomputing h@W_h; dW_h reduces to
     one MXU matmul outside the kernel. Wired up with jax.custom_vjp.
 
-Falls back transparently to the lax.scan path (ops/rnn.py) when shapes don't
-fit VMEM or on non-TPU backends.
+For LM-scale hidden sizes (the flagship LM is 4x LSTM-2048, whose w_h is
+~33 MB bf16 and cannot be VMEM-resident), a second GATE-CHUNKED kernel runs
+a (T, K) grid: the 4H gate axis is split into K VMEM-sized column chunks of
+w_h that pallas's pipeline streams (double-buffered) from HBM while the
+partial gate pre-activations accumulate in VMEM scratch; the last chunk of
+each step applies the activations and advances h/c. The recurrence is
+HBM-bandwidth-bound either way (w_h must be re-read every step); the chunked
+kernel removes the scan's per-step overhead and keeps all elementwise work
+fused and on-chip.
+
+Falls back transparently to the lax.scan path (ops/rnn.py) on non-TPU
+backends.
 """
 
 from __future__ import annotations
@@ -194,10 +204,210 @@ def _rec_bwd(res, dy):
 lstm_recurrence.defvjp(_rec_fwd, _rec_bwd)
 
 
+# --------------------------------------------------------------------------
+# Gate-chunked kernels: w_h streamed in K column chunks (H > VMEM budget)
+# --------------------------------------------------------------------------
+
+# target VMEM footprint per streamed w_h chunk (x2 for double buffering)
+_CHUNK_BYTES = 2 * 1024 * 1024
+
+
+def _chunkable(hidden: int) -> bool:
+    """Chunk widths must be lane-aligned: 4H divisible by 128."""
+    return (4 * hidden) % 128 == 0
+
+
+def _n_chunks(hidden: int) -> int:
+    assert _chunkable(hidden), hidden
+    wh_bytes = hidden * 4 * hidden * 2  # bf16
+    k = max(1, (wh_bytes + _CHUNK_BYTES - 1) // _CHUNK_BYTES)
+    # chunk width must divide 4H and stay lane-aligned (multiples of 128)
+    h4 = 4 * hidden
+    while h4 % k or (h4 // k) % 128:
+        k += 1
+    return k
+
+
+def _fwd_kernel_chunked(xg_ref, wh_ref, ys_ref, cs_ref, gates_ref,
+                        h_scr, c_scr, acc_scr):
+    t = pl.program_id(0)
+    k = pl.program_id(1)
+    n_k = pl.num_programs(1)
+    hidden = h_scr.shape[-1]
+    cw = wh_ref.shape[-1]  # chunk width along the 4H axis
+
+    @pl.when(jnp.logical_and(t == 0, k == 0))
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    h_prev = h_scr[...]
+    part = xg_ref[0] + jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[...],
+                               preferred_element_type=jnp.float32)
+    acc_scr[:, pl.dslice(k * cw, cw)] = part
+
+    @pl.when(k == n_k - 1)
+    def _():
+        gates = acc_scr[...]
+        i, f, g, o = _activations(gates, hidden)
+        c = f * c_scr[...] + i * g
+        h = o * jnp.tanh(c)
+        h_scr[...] = h
+        c_scr[...] = c
+        ys_ref[0] = h
+        cs_ref[0] = c
+        gates_ref[0] = gates
+
+
+def _lstm_fwd_pallas_chunked(xg: jnp.ndarray, w_h: jnp.ndarray):
+    t, b, h4 = xg.shape
+    hidden = h4 // 4
+    n_k = _n_chunks(hidden)
+    cw = h4 // n_k
+    wh_c = w_h.astype(jnp.bfloat16)
+    ys, cs, gates = pl.pallas_call(
+        _fwd_kernel_chunked,
+        grid=(t, n_k),
+        in_specs=[
+            pl.BlockSpec((1, b, cw), lambda i, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, cw), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, hidden), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((b, h4), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(xg, wh_c)
+    return ys, cs, gates
+
+
+def _bwd_kernel_chunked(gates_ref, wh_ref, cs_prev_ref, cs_ref, dy_ref,
+                        dxg_ref, dh_scr, dc_scr, dg_scr, dhacc_scr):
+    t = pl.program_id(0)          # walking REVERSED time
+    k = pl.program_id(1)
+    n_k = pl.num_programs(1)
+    hidden = dh_scr.shape[-1]
+    cw = wh_ref.shape[-1]
+
+    @pl.when(jnp.logical_and(t == 0, k == 0))
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    # first chunk of each step: full-width elementwise gate backward
+    @pl.when(k == 0)
+    def _():
+        c_prev = cs_prev_ref[0]
+        c_t = cs_ref[0]
+        i, f, g, o = _activations(gates_ref[0], hidden)
+        tanh_c = jnp.tanh(c_t)
+        dh = dy_ref[0] + dh_scr[...]
+        do = dh * tanh_c
+        dct = dc_scr[...] + dh * o * (1.0 - tanh_c * tanh_c)
+        dgates = jnp.concatenate([
+            dct * g * i * (1.0 - i), dct * c_prev * f * (1.0 - f),
+            dct * i * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
+        dg_scr[...] = dgates
+        dc_scr[...] = dct * f
+        dxg_ref[0] = dgates
+        dhacc_scr[...] = jnp.zeros_like(dhacc_scr)
+
+    # every chunk: accumulate the dh chain matmul against this w_h chunk
+    dg_part = dg_scr[:, pl.dslice(k * cw, cw)]
+    dhacc_scr[...] += jnp.dot(dg_part.astype(wh_ref.dtype), wh_ref[...].T,
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        dh_scr[...] = dhacc_scr[...]
+
+
+def _lstm_bwd_pallas_chunked(w_h, ys, cs, gates, dy):
+    t, b, h4 = gates.shape
+    hidden = h4 // 4
+    n_k = _n_chunks(hidden)
+    cw = h4 // n_k
+    wh_c = w_h.astype(jnp.bfloat16)
+    zrow = jnp.zeros((1, b, hidden), jnp.float32)
+    ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
+    cs_prev = jnp.concatenate([zrow, cs[:-1]], axis=0)
+
+    rev = lambda i, k: (t - 1 - i, 0, 0)
+    dxg = pl.pallas_call(
+        _bwd_kernel_chunked,
+        grid=(t, n_k),
+        in_specs=[
+            pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),   # gates
+            pl.BlockSpec((hidden, cw), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),                    # w_h
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, h4), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),   # dh carry
+            pltpu.VMEM((b, hidden), jnp.float32),   # dc carry
+            pltpu.VMEM((b, h4), jnp.float32),       # dgates of this step
+            pltpu.VMEM((b, hidden), jnp.float32),   # dh accumulator
+        ],
+        interpret=INTERPRET,
+    )(gates, wh_c, cs_prev, cs, dy)
+    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg,
+                     preferred_element_type=jnp.float32)
+    return dxg, dwh
+
+
+@jax.custom_vjp
+def lstm_recurrence_chunked(xg: jnp.ndarray, w_h: jnp.ndarray) -> jnp.ndarray:
+    """Gate-chunked fused LSTM recurrence for hidden sizes whose w_h
+    exceeds VMEM (e.g. the 4x LSTM-2048 flagship LM): same contract as
+    lstm_recurrence."""
+    ys, _, _ = _lstm_fwd_pallas_chunked(xg, w_h)
+    return ys
+
+
+def _rec_fwd_chunked(xg, w_h):
+    ys, cs, gates = _lstm_fwd_pallas_chunked(xg, w_h)
+    return ys, (w_h, ys, cs, gates)
+
+
+def _rec_bwd_chunked(res, dy):
+    w_h, ys, cs, gates = res
+    dxg, dwh = _lstm_bwd_pallas_chunked(w_h, ys, cs, gates, dy)
+    return dxg, dwh.astype(w_h.dtype)
+
+
+lstm_recurrence_chunked.defvjp(_rec_fwd_chunked, _rec_bwd_chunked)
+
+
 def pallas_available(hidden: int) -> bool:
-    """Use the pallas path on TPU when w_h fits VMEM."""
+    """Use a pallas path on TPU: the resident kernel when w_h fits VMEM,
+    the gate-chunked kernel for larger lane-aligned hidden sizes."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    return on_tpu and _fits_vmem(hidden)
+    return on_tpu and (_fits_vmem(hidden) or _chunkable(hidden))
+
+
+def recurrence_fn(hidden: int):
+    """Pick the right fused kernel for this hidden size."""
+    return lstm_recurrence if _fits_vmem(hidden) else lstm_recurrence_chunked

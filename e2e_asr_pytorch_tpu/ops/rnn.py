@@ -96,15 +96,16 @@ def _use_pallas(hidden: int) -> bool:
 def lstm_layer_pallas(params, x: jnp.ndarray, reverse: bool = False,
                       compute_dtype=jnp.float32) -> jnp.ndarray:
     """One LSTM direction via the fused Pallas recurrence kernel
-    (zero initial state). Returns y (B,T,H) only."""
-    from e2e_asr_pytorch_tpu.ops.pallas.lstm import lstm_recurrence
+    (zero initial state; VMEM-resident or gate-chunked by hidden size).
+    Returns y (B,T,H) only."""
+    from e2e_asr_pytorch_tpu.ops.pallas.lstm import recurrence_fn
     xg = jnp.einsum("btd,dh->bth", x.astype(compute_dtype),
                     params["w_x"].astype(compute_dtype),
                     preferred_element_type=jnp.float32) + params["b"]
     xg_t = jnp.swapaxes(xg, 0, 1)
     if reverse:
         xg_t = jnp.flip(xg_t, axis=0)
-    ys = lstm_recurrence(xg_t, params["w_h"])
+    ys = recurrence_fn(params["w_h"].shape[0])(xg_t, params["w_h"])
     if reverse:
         ys = jnp.flip(ys, axis=0)
     return jnp.swapaxes(ys, 0, 1)
@@ -421,9 +422,25 @@ def stacked_step(layers, module: str, x: jnp.ndarray, state,
 def stacked_sequence(layers, module: str, x: jnp.ndarray, state=None,
                      dropout: float = 0.0, rng: Optional[jax.Array] = None,
                      train: bool = False, compute_dtype=jnp.float32):
-    """Full-sequence stacked unidirectional RNN (used by the LM): (B,T,D)."""
+    """Full-sequence stacked unidirectional RNN (used by the LM): (B,T,D).
+
+    Stateless LSTM calls (state=None, the LM train/eval case) take the fused
+    Pallas recurrence — gate-chunked for LM-scale hidden sizes whose w_h
+    exceeds VMEM (e.g. 4x LSTM-2048) — and return None as the final state
+    (such callers ignore it). Stateful calls keep the scan path."""
     b = x.shape[0]
     hidden = (layers[0]["w_h"].shape[0])
+    if state is None and module == "LSTM" and _use_pallas(hidden):
+        outs = x
+        for l, p in enumerate(layers):
+            outs = lstm_layer_pallas(p, outs, compute_dtype=compute_dtype)
+            if train and dropout > 0 and l < len(layers) - 1 \
+                    and rng is not None:
+                rng, sub = jax.random.split(rng)
+                keep = 1.0 - dropout
+                outs = outs * jax.random.bernoulli(sub, keep,
+                                                   outs.shape) / keep
+        return outs, None
     if state is None:
         state = stacked_zero_state(module, len(layers), b, hidden)
     outs = x

@@ -17,6 +17,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 
 from e2e_asr_pytorch_tpu.parallel import mesh as mesh_lib
 from e2e_asr_pytorch_tpu.train import checkpoint as ckpt_lib
@@ -107,7 +108,23 @@ class BaseSolver(abc.ABC):
             self.opt_state = jax.device_put(self.opt_state, self._replicated)
 
     def put_batch(self, data: Dict[str, Any]) -> Dict[str, Any]:
-        """Host batch -> device arrays, batch axis sharded across 'data'."""
+        """Host batch -> device arrays, batch axis sharded across 'data'.
+
+        Multi-host: each process feeds only its local row slice (see
+        AudioBatchIterator host_rows) and the global batch array is
+        assembled from per-process shards over DCN — no host ever
+        materializes the full batch."""
+        if jax.process_count() > 1:
+            out = {}
+            for k, v in data.items():
+                if hasattr(v, "shape"):
+                    gshape = ((v.shape[0] * jax.process_count(),)
+                              + tuple(v.shape[1:]))
+                    out[k] = jax.make_array_from_process_local_data(
+                        self._batch_sharding, np.asarray(v), gshape)
+                else:
+                    out[k] = v
+            return out
         return {k: (jax.device_put(v, self._batch_sharding)
                     if hasattr(v, "shape") else v)
                 for k, v in data.items()}

@@ -143,7 +143,7 @@ class Solver(BaseSolver):
         return feat, feat_len
 
     def _losses(self, params, feat, feat_len, txt, txt_len, tf_rate, rng,
-                use_ctc, train, utt_w=None):
+                use_ctc, train, utt_w=None, y_emb=None):
         decode_step = txt.shape[1]
         fix_enc = tuple(self.fix_enc) if self.transfer_learning else ()
         fix_dec = self.fix_dec if self.transfer_learning else False
@@ -158,7 +158,8 @@ class Solver(BaseSolver):
         total, ctc_loss_v, att_loss_v, emb_loss_v = 0.0, None, None, None
         if self.emb_reg:
             emb_loss_v, fuse_out = self.emb_decoder.loss(
-                params["emb_plugin"], dec_state, att_out, txt, utt_w=utt_w)
+                params["emb_plugin"], dec_state, att_out, txt, utt_w=utt_w,
+                y_emb=y_emb)
             total += self.emb_decoder.weight * emb_loss_v
             if self.emb_decoder.apply_fuse:
                 att_out = fuse_out
@@ -183,13 +184,14 @@ class Solver(BaseSolver):
         @functools.partial(jax.jit, static_argnames=("use_ctc",),
                            donate_argnums=(0, 1))
         def step_fn(params, opt_state, wav, wav_len, txt, txt_len, utt_w,
-                    rng, tf_rate, use_ctc=True):
+                    rng, tf_rate, y_emb=None, use_ctc=True):
             r_aug, r_fwd = jax.random.split(rng)
             feat, feat_len = self._features(wav, wav_len, r_aug, True)
 
             def loss_fn(p):
                 return self._losses(p, feat, feat_len, txt, txt_len, tf_rate,
-                                    r_fwd, use_ctc, True, utt_w=utt_w)
+                                    r_fwd, use_ctc, True, utt_w=utt_w,
+                                    y_emb=y_emb)
 
             (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             gnorm = O.global_norm(grads)
@@ -262,12 +264,20 @@ class Solver(BaseSolver):
                                  + self.logdir)
 
                 dev = self.put_batch(data)
+                # on-line BERT contextual targets (host torch CPU), fed to
+                # the jitted step as data (reference src/plugin.py:128-135)
+                y_emb = None
+                if self.emb_reg and self.emb_decoder.predictor is not None:
+                    y_emb = jax.device_put(
+                        self.emb_decoder.predict_targets(data["txt"]),
+                        self._batch_sharding)
                 self.params, self.opt_state, metrics, ctc_out, att_out = \
                     self._train_step(self.params, self.opt_state,
                                      dev["wav"], dev["wav_len"],
                                      dev["txt"], dev["txt_len"],
                                      dev["utt_w"],
-                                     rng, tf_rate, use_ctc=use_ctc)
+                                     rng, tf_rate, y_emb=y_emb,
+                                     use_ctc=use_ctc)
                 total = metrics["total"]
                 self.step += 1
                 self.timer.cnt("fw")

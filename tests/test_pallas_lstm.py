@@ -65,3 +65,60 @@ def test_grads_match_scan():
 def test_vmem_gate():
     assert PL._fits_vmem(1280)
     assert not PL._fits_vmem(4096)
+    # LM-scale dispatch: chunked kernel for w_h beyond VMEM
+    assert PL.recurrence_fn(1280) is PL.lstm_recurrence
+    assert PL.recurrence_fn(2048) is PL.lstm_recurrence_chunked
+
+
+def test_chunking_plan():
+    # chunk widths must divide 4H and stay lane-aligned
+    for h in (128, 512, 1024, 2048, 4096):
+        k = PL._n_chunks(h)
+        assert (4 * h) % k == 0 and ((4 * h) // k) % 128 == 0
+    assert PL._n_chunks(2048) > 1  # the flagship LM streams multiple chunks
+
+
+def test_chunked_forward_matches_scan():
+    # H=1024 -> 4 chunks through the real multi-chunk path
+    rng = np.random.default_rng(2)
+    t, b, h = 4, 2, 1024
+    assert PL._n_chunks(h) > 1
+    xg = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32) * 0.3
+    w_h = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.02, jnp.float32)
+    ys_p = PL.lstm_recurrence_chunked(xg, w_h)
+    ys_s = _scan_ref(xg, w_h)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_s), rtol=5e-2,
+                               atol=5e-3)
+
+
+def test_chunked_grads_match_scan():
+    rng = np.random.default_rng(3)
+    t, b, h = 3, 2, 1024
+    xg = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32) * 0.3
+    w_h = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.02, jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((t, b, h)), jnp.float32)
+
+    def loss_p(xg, w):
+        return jnp.sum((PL.lstm_recurrence_chunked(xg, w) - tgt) ** 2)
+
+    def loss_s(xg, w):
+        return jnp.sum((_scan_ref(xg, w) - tgt) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(xg, w_h)
+    gs = jax.grad(loss_s, argnums=(0, 1))(xg, w_h)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]),
+                               rtol=5e-2, atol=5e-1)
+
+
+def test_chunked_equals_resident_kernel():
+    """Both kernels implement the same contract; cross-check at a small H
+    by calling the chunked kernel directly."""
+    rng = np.random.default_rng(4)
+    t, b, h = 8, 2, 128
+    xg = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32)
+    w_h = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.2, jnp.float32)
+    y1 = PL.lstm_recurrence(xg, w_h)
+    y2 = PL.lstm_recurrence_chunked(xg, w_h)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)

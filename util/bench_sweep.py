@@ -1,0 +1,113 @@
+"""Diagnostic batch/stage sweep of the flagship train step on the TPU.
+
+Explains where step time goes (VERDICT r1: the 31-vs-43 utts/s gap and the
+batch-32 anomaly): times forward-only, forward+backward, and the full update
+at several batch sizes, printing per-stage medians and utts/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _flagship_model_cfg
+    from e2e_asr_pytorch_tpu.models import asr as M
+    from e2e_asr_pytorch_tpu.ops import ctc as ctc_ops
+    from e2e_asr_pytorch_tpu.ops import losses as L
+    from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+    from e2e_asr_pytorch_tpu.ops.specaugment import spec_augment
+    from e2e_asr_pytorch_tpu.train import optim as O
+
+    vocab = 31
+    seconds, label_len = 12.8, 144
+    feat_cfg = FeatureConfig(feat_type="fbank", feat_dim=40, delta_order=2,
+                             augment=True)
+    spec = M.build_spec(feat_cfg.out_dim, vocab, **_flagship_model_cfg(1.0))
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+    tx, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,
+                              lr_scheduler="fixed")
+    opt_state = tx.init(params)
+
+    def fwd_loss(params, wav, wav_len, txt, txt_len, rng):
+        r_aug, r_fwd = jax.random.split(rng)
+        feat, feat_len = extract_features(feat_cfg, wav, wav_len)
+        feat = spec_augment(feat, feat_len, r_aug)
+        ctc_out, enc_len, att_out, _, _ = M.asr_apply(
+            params, spec, feat, feat_len, label_len, tf_rate=1.0,
+            teacher=txt, rng=r_fwd, train=True, sample_free=True,
+            compute_dtype=jnp.bfloat16)
+        l_ctc = ctc_ops.ctc_loss(ctc_out, enc_len, txt, txt_len)
+        l_att = L.label_smoothing_loss(att_out, txt, vocab, 0.1)
+        return spec.ctc_weight * l_ctc + (1 - spec.ctc_weight) * l_att
+
+    def grad_step(params, wav, wav_len, txt, txt_len, rng):
+        return jax.value_and_grad(fwd_loss)(params, wav, wav_len, txt,
+                                            txt_len, rng)
+
+    def full_step(params, opt_state, wav, wav_len, txt, txt_len, rng):
+        loss, grads = jax.value_and_grad(fwd_loss)(params, wav, wav_len,
+                                                   txt, txt_len, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def timeit(fn, *args, n=8):
+        out = fn(*args)
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+            else x, out)
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            out = fn(*args)
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready()
+                if hasattr(x, "block_until_ready") else x, out)
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    n_samples = int(seconds * 16000)
+    rng = np.random.default_rng(0)
+    results = {}
+    for batch in (int(b) for b in sys.argv[1:] or (8, 16, 32)):
+        wav = jnp.asarray(rng.standard_normal((batch, n_samples)),
+                          jnp.float32) * 0.1
+        wav_len = jnp.full((batch,), n_samples, jnp.int32)
+        txt = jnp.asarray(rng.integers(3, vocab, (batch, label_len)),
+                          jnp.int32)
+        txt_len = jnp.full((batch,), label_len, jnp.int32)
+        key = jax.random.PRNGKey(1)
+
+        f = jax.jit(fwd_loss)
+        g = jax.jit(grad_step)
+        s = jax.jit(full_step)
+        t_c0 = time.time()
+        t_fwd = timeit(f, params, wav, wav_len, txt, txt_len, key)
+        t_grad = timeit(g, params, wav, wav_len, txt, txt_len, key)
+        t_full = timeit(s, params, opt_state, wav, wav_len, txt, txt_len, key)
+        results[batch] = dict(fwd_ms=t_fwd * 1e3, grad_ms=t_grad * 1e3,
+                              full_ms=t_full * 1e3,
+                              utts_per_sec=batch / t_full,
+                              wall_incl_compile_s=time.time() - t_c0)
+        print("B={:3d} | fwd {:7.1f}ms | +bwd {:7.1f}ms | full {:7.1f}ms | "
+              "{:6.2f} utts/s".format(batch, t_fwd * 1e3, t_grad * 1e3,
+                                      t_full * 1e3, batch / t_full),
+              flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
