@@ -171,6 +171,89 @@ def attend_and_decode(params: Dict, spec: ASRSpec, cache: Dict,
 
 
 # ---------------------------------------------------------------------------
+# folded teacher-forced decoder (fast path used by asr_apply)
+# ---------------------------------------------------------------------------
+
+def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
+                  teacher_emb_t, step_rngs, train, get_dec_state,
+                  compute_dtype, ctc_output, enc_len):
+    """Teacher-forced decoder scan with layer-1's input matmul hoisted out.
+
+    Requires: LSTM decoder, single attention head, pure teacher forcing
+    (sample_free), no in-scan fusion. Equivalent math to the generic scan
+    (parity-tested); the vocab projection also runs once over the whole
+    output sequence instead of per step.
+    """
+    dec = spec.decoder
+    layers = params["decoder"]["layers"]
+    l1 = layers[0]
+    emb_dim = dec.dim
+
+    # inputs at step t: [sos_emb, teacher_emb[:-1]] — precompute their gate
+    # contribution for every step at once (dW_emb = one matmul in the VJP)
+    emb_seq = jnp.concatenate([last_emb0[None], teacher_emb_t[:-1]], axis=0)
+    w_emb = l1["w_x"][:emb_dim]
+    w_ctx = l1["w_x"][emb_dim:]
+    xg_emb = jnp.einsum("tbe,eg->tbg", emb_seq.astype(compute_dtype),
+                        w_emb.astype(compute_dtype),
+                        preferred_element_type=jnp.float32) + l1["b"]
+    # fold the context projection into the (cached) values: (B,T,4H)
+    vp = jnp.einsum("btd,dg->btg",
+                    cache["value"][:, :, 0, :].astype(compute_dtype),
+                    w_ctx.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+
+    def step(carry, xs):
+        (hs, cs), prev_att = carry
+        xg_emb_t, step_rng = xs
+        query = dec_query(spec, (hs, cs))
+        attn, new_prev = A.attention_weights_step(
+            params["attention"], spec.attention, query, cache, prev_att,
+            compute_dtype)
+        xg1 = xg_emb_t + jnp.einsum("bt,btg->bg",
+                                    attn[:, 0, :].astype(compute_dtype),
+                                    vp.astype(compute_dtype),
+                                    preferred_element_type=jnp.float32)
+        h, c = R.lstm_cell(l1, xg1, hs[0], cs[0], compute_dtype)
+        new_h, new_c = [h], [c]
+        outs = h
+        for l in range(1, dec.layer):
+            if train and dec.dropout > 0:
+                step_rng, sub = jax.random.split(step_rng)
+                keep = 1.0 - dec.dropout
+                outs = outs * jax.random.bernoulli(sub, keep, outs.shape) / keep
+            p = layers[l]
+            xg = jnp.dot(outs.astype(compute_dtype),
+                         p["w_x"].astype(compute_dtype),
+                         preferred_element_type=jnp.float32) + p["b"]
+            h, c = R.lstm_cell(p, xg, hs[l], cs[l], compute_dtype)
+            new_h.append(h)
+            new_c.append(c)
+            outs = h
+        d_state = outs
+        if train and dec.dropout > 0:
+            keep = 1.0 - dec.dropout
+            outs = outs * jax.random.bernoulli(
+                jax.random.fold_in(step_rng, 1), keep, outs.shape) / keep
+        out = (outs, attn, d_state) if get_dec_state else (outs, attn)
+        return ((jnp.stack(new_h), jnp.stack(new_c)), new_prev), out
+
+    _, ys = jax.lax.scan(step, (dec_state0, prev_att0), (xg_emb, step_rngs))
+    if get_dec_state:
+        feats_t, attn_t, dstate_t = ys
+        dec_states = jnp.swapaxes(dstate_t, 0, 1)                 # B,L,H
+    else:
+        feats_t, attn_t = ys
+        dec_states = None
+    # vocab projection ONCE over the whole sequence (out of the scan)
+    logits_t = R.linear(params["decoder"]["char_trans"], feats_t,
+                        compute_dtype)
+    att_output = jnp.swapaxes(logits_t, 0, 1)                     # B,L,V
+    att_align = jnp.transpose(attn_t, (1, 2, 0, 3))               # B,N,L,T
+    return ctc_output, enc_len, att_output, att_align, dec_states
+
+
+# ---------------------------------------------------------------------------
 # full forward (training / validation)
 # ---------------------------------------------------------------------------
 
@@ -181,7 +264,7 @@ def asr_apply(params: Dict, spec: ASRSpec, feat: jnp.ndarray,
               get_dec_state: bool = False, get_logit: bool = False,
               emb_fuse_fn=None, fix_enc_layers: Tuple[int, ...] = (),
               fix_dec: bool = False, sample_free: bool = False,
-              compute_dtype=jnp.float32):
+              compute_dtype=jnp.float32, fold_decoder: bool = True):
     """Forward pass.
 
     Returns (ctc_output, encode_len, att_output, att_align, dec_state) with
@@ -248,6 +331,22 @@ def asr_apply(params: Dict, spec: ASRSpec, feat: jnp.ndarray,
 
         step_rngs = jax.random.split(rng_dec, decode_step)
         coin_rngs = jax.random.split(rng_tf, decode_step)
+
+        # ---- folded fast path (pure teacher forcing, the flagship recipe):
+        # layer-1's input matmul leaves the scan entirely — the embedding
+        # half is precomputed over all steps (teacher known in advance), and
+        # the context half is folded into the attention values
+        # (w_ctx @ (attn @ V) == attn @ (V @ w_ctx)). This keeps the big
+        # (in_dim, 4H) weight and its gradient accumulation OUT of the
+        # backward scan: dW becomes two whole-sequence matmuls instead of a
+        # per-step read-modify-write of a ~60 MB buffer.
+        if (fold_decoder and teacher_emb_t is not None and sample_free
+                and emb_fuse_fn is None and spec.decoder.module == "LSTM"
+                and spec.attention.num_head == 1):
+            return _apply_folded(
+                params, spec, cache, prev_att, dec_state0, last_emb0,
+                teacher_emb_t, step_rngs, train, get_dec_state,
+                compute_dtype, ctc_output, enc_len)
 
         def step(carry, xs):
             dec_state, prev_att, last_emb = carry

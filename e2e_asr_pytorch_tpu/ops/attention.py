@@ -15,7 +15,7 @@ LocationAware kernels) designed for use inside lax.scan:
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -107,25 +107,13 @@ def precompute(params: Dict, cfg: AttnConfig, enc_feat: jnp.ndarray,
     return cache
 
 
-def _attend(energy: jnp.ndarray, value: jnp.ndarray, mask: jnp.ndarray,
-            temperature: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """energy (B,N,T), value (B,T,N,Dv), mask (B,T) -> context (B,N,Dv), attn."""
-    energy = energy / temperature
-    energy = jnp.where(mask[:, None, :], energy, NEG_INF)
-    attn = jax.nn.softmax(energy, axis=-1)                        # B,N,T
-    context = jnp.einsum("bnt,btnd->bnd", attn, value,
-                         preferred_element_type=jnp.float32)
-    return context, attn
-
-
-def attention_step(params: Dict, cfg: AttnConfig, query: jnp.ndarray,
-                   cache: Dict, prev_att: Optional[jnp.ndarray],
-                   compute_dtype=jnp.float32):
-    """One attention step.
-
-    query: (B, q_dim) decoder state. Returns (context (B, v_dim or merged),
-    attn (B,N,T), new_prev_att).
-    """
+def attention_weights_step(params: Dict, cfg: AttnConfig, query: jnp.ndarray,
+                           cache: Dict, prev_att: Optional[jnp.ndarray],
+                           compute_dtype=jnp.float32):
+    """Attention WEIGHTS for one step (no context reduction): query
+    (B, q_dim) -> (attn (B,N,T), new_prev_att). Used directly by the folded
+    decoder fast path, which reduces attn against value-projected gate
+    pre-activations instead of raw values."""
     b = query.shape[0]
     t = cache["key"].shape[1]
     q = jnp.tanh(linear(params["proj_q"], query, compute_dtype))
@@ -134,9 +122,6 @@ def attention_step(params: Dict, cfg: AttnConfig, query: jnp.ndarray,
     if cfg.mode == "dot":
         energy = jnp.einsum("bnd,btnd->bnt", q, cache["key"],
                             preferred_element_type=jnp.float32)
-        context, attn = _attend(energy, cache["value"], cache["mask"],
-                                cfg.temperature)
-        new_prev = prev_att
     elif cfg.mode == "loc":
         # loc features: the conv over the previous attention runs as a
         # banded matmul against the precomputed operator (see
@@ -150,12 +135,29 @@ def attention_step(params: Dict, cfg: AttnConfig, query: jnp.ndarray,
         e_in = jnp.tanh(cache["key"] + q[:, None, :, :] + loc_ctx[:, :, None, :])
         energy = linear(params["gen_energy"], e_in, compute_dtype)[..., 0]  # B,T,N
         energy = jnp.swapaxes(energy, 1, 2)                       # B,N,T
-        context, attn = _attend(energy, cache["value"], cache["mask"],
-                                cfg.temperature)
-        new_prev = attn
     else:
         raise NotImplementedError(cfg.mode)
 
+    energy = energy / cfg.temperature
+    energy = jnp.where(cache["mask"][:, None, :], energy, NEG_INF)
+    attn = jax.nn.softmax(energy, axis=-1)                        # B,N,T
+    new_prev = attn if cfg.mode == "loc" else prev_att
+    return attn, new_prev
+
+
+def attention_step(params: Dict, cfg: AttnConfig, query: jnp.ndarray,
+                   cache: Dict, prev_att: Optional[jnp.ndarray],
+                   compute_dtype=jnp.float32):
+    """One attention step.
+
+    query: (B, q_dim) decoder state. Returns (context (B, v_dim or merged),
+    attn (B,N,T), new_prev_att).
+    """
+    b = query.shape[0]
+    attn, new_prev = attention_weights_step(params, cfg, query, cache,
+                                            prev_att, compute_dtype)
+    context = jnp.einsum("bnt,btnd->bnd", attn, cache["value"],
+                         preferred_element_type=jnp.float32)
     if cfg.num_head > 1:
         context = linear(params["merge_head"],
                          context.reshape(b, cfg.num_head * cfg.v_dim),

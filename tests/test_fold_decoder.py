@@ -1,0 +1,105 @@
+"""Folded teacher-forced decoder (models/asr._apply_folded) vs the generic
+scan: identical outputs and gradients. The fold hoists layer-1's input
+matmul out of the scan (emb half precomputed, context half folded into the
+attention values) and applies the vocab projection once per sequence."""
+
+import functools
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from e2e_asr_pytorch_tpu.models import asr as M
+
+
+def _spec(att_mode: str, ctc_weight: float = 0.5):
+    return M.build_spec(
+        12, 13, ctc_weight,
+        encoder={"vgg": 0, "vgg_freq": -1, "vgg_low_filt": -1,
+                 "module": "LSTM", "bidirection": True,
+                 "dim": [10], "dropout": [0.0], "layer_norm": [False],
+                 "proj": [False], "sample_rate": [1], "sample_style": "drop"},
+        attention={"mode": att_mode, "dim": 6, "num_head": 1,
+                   "v_proj": False, "temperature": 0.5,
+                   "loc_kernel_size": 3, "loc_kernel_num": 2},
+        decoder={"module": "LSTM", "dim": 8, "layer": 2, "dropout": 0.0})
+
+
+def _data(seed=0, b=3, t=17, d=12, l=7):
+    rng = np.random.default_rng(seed)
+    feat = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    feat_len = jnp.asarray([t, t - 4, t - 7], jnp.int32)
+    teacher = jnp.asarray(rng.integers(3, 13, (b, l)), jnp.int32)
+    return feat, feat_len, teacher, l
+
+
+@pytest.mark.parametrize("att_mode", ["loc", "dot"])
+@pytest.mark.parametrize("get_dec_state", [False, True])
+def test_folded_matches_generic(att_mode, get_dec_state):
+    spec = _spec(att_mode)
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+    feat, feat_len, teacher, l = _data()
+
+    def run(fold):
+        return M.asr_apply(params, spec, feat, feat_len, l, tf_rate=1.0,
+                           teacher=teacher, rng=jax.random.PRNGKey(1),
+                           train=True, sample_free=True,
+                           get_dec_state=get_dec_state, fold_decoder=fold)
+
+    ref = run(False)
+    out = run(True)
+    for a, b_ in zip(ref, out):
+        if a is None:
+            assert b_ is None
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("att_mode", ["loc", "dot"])
+def test_folded_grads_match_generic(att_mode):
+    spec = _spec(att_mode)
+    params = M.asr_init(jax.random.PRNGKey(2), spec)
+    feat, feat_len, teacher, l = _data(seed=1)
+
+    def loss(p, fold):
+        ctc_out, enc_len, att_out, _, _ = M.asr_apply(
+            p, spec, feat, feat_len, l, tf_rate=1.0, teacher=teacher,
+            rng=jax.random.PRNGKey(1), train=True, sample_free=True,
+            fold_decoder=fold)
+        tgt = jax.nn.one_hot(teacher, 13)
+        return (jnp.mean((jax.nn.log_softmax(att_out) * tgt).sum(-1))
+                + 0.1 * jnp.mean(ctc_out))
+
+    g_ref = jax.grad(functools.partial(loss, fold=False))(params)
+    g_out = jax.grad(functools.partial(loss, fold=True))(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_out = jax.tree_util.tree_leaves(g_out)
+    assert len(flat_ref) == len(flat_out)
+    for (path, a), b_ in zip(flat_ref, flat_out):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_folded_gate_respects_conditions():
+    """Sampling / GRU / multi-head paths must keep the generic scan (the
+    fold is only valid under pure teacher forcing, LSTM, one head)."""
+    spec = _spec("loc")
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+    feat, feat_len, teacher, l = _data()
+    # non-sample-free: generic and folded flags agree (fold gated off)
+    out1 = M.asr_apply(params, spec, feat, feat_len, l, tf_rate=0.7,
+                       teacher=teacher, rng=jax.random.PRNGKey(3),
+                       train=True, sample_free=False, fold_decoder=True)
+    out2 = M.asr_apply(params, spec, feat, feat_len, l, tf_rate=0.7,
+                       teacher=teacher, rng=jax.random.PRNGKey(3),
+                       train=True, sample_free=False, fold_decoder=False)
+    np.testing.assert_allclose(np.asarray(out1[2]), np.asarray(out2[2]),
+                               atol=1e-6)
