@@ -49,7 +49,9 @@ def _fwd_kernel(xg_ref, wh_ref, bh_ref, ys_ref, hg_ref, h_scr):
     h = (1.0 - z) * n + z * h_prev
     h_scr[...] = h
     ys_ref[0] = h
-    hg_ref[0] = hg  # streamed out so the backward skips the recompute matmul
+    # streamed out (bf16) so the backward skips the recompute matmul; bf16
+    # halves the HBM stash traffic and fwd->bwd residency
+    hg_ref[0] = hg.astype(hg_ref.dtype)
 
 
 def _bwd_kernel(xg_ref, wh_ref, hg_ref, ys_prev_ref, dy_ref,
@@ -61,8 +63,8 @@ def _bwd_kernel(xg_ref, wh_ref, hg_ref, ys_prev_ref, dy_ref,
     def _():
         dh_scr[...] = jnp.zeros_like(dh_scr)
 
-    h_prev = ys_prev_ref[0]
-    hg = hg_ref[0]
+    h_prev = ys_prev_ref[0].astype(jnp.float32)
+    hg = hg_ref[0].astype(jnp.float32)
     r, z, n = _gates(xg_ref[0], hg, hidden)
     hn = hg[..., 2 * hidden:]
 
@@ -104,7 +106,7 @@ def _fwd(xg, w_h, b_h):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h3), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h3), jnp.bfloat16),
         ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=INTERPRET,
@@ -115,7 +117,7 @@ def _fwd(xg, w_h, b_h):
 def _bwd(xg, w_h, hgs, ys, dy):
     t, b, h3 = xg.shape
     hidden = h3 // 3
-    zrow = jnp.zeros((1, b, hidden), jnp.float32)
+    zrow = jnp.zeros((1, b, hidden), ys.dtype)
     ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
     rev = lambda i: (t - 1 - i, 0, 0)
     dxg, dhg = pl.pallas_call(
@@ -140,7 +142,7 @@ def _bwd(xg, w_h, hgs, ys, dy):
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=INTERPRET,
     )(xg, w_h.astype(jnp.bfloat16), hgs, ys_prev, dy)
-    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dhg,
+    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dhg.astype(ys_prev.dtype),
                      preferred_element_type=jnp.float32)
     dbh = jnp.sum(dhg, axis=(0, 1))
     return dxg, dwh, dbh
@@ -156,7 +158,7 @@ def gru_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray,
 
 def _vjp_fwd(xg, w_h, b_h):
     ys, hgs = _fwd(xg, w_h, b_h)
-    return ys, (xg, w_h, b_h, hgs, ys)
+    return ys, (xg, w_h, b_h, hgs, ys.astype(jnp.bfloat16))
 
 
 def _vjp_bwd(res, dy):

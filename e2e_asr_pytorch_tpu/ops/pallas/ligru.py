@@ -36,7 +36,9 @@ def _fwd_kernel(xg_ref, wh_ref, mask_ref, ys_ref, hg_ref, h_scr):
     h_prev = h_scr[...]
     hg = jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[...],
                  preferred_element_type=jnp.float32)
-    hg_ref[0] = hg  # streamed out: backward skips the recompute matmul
+    # streamed out (bf16): backward skips the recompute matmul at half the
+    # HBM stash traffic
+    hg_ref[0] = hg.astype(hg_ref.dtype)
     g = xg_ref[0] + hg
     z = jax.nn.sigmoid(g[..., :hidden])
     cand = jax.nn.relu(g[..., hidden:]) * mask_ref[...]
@@ -54,8 +56,8 @@ def _bwd_kernel(xg_ref, wh_ref, mask_ref, hg_ref, ys_prev_ref, dy_ref,
     def _():
         dh_scr[...] = jnp.zeros_like(dh_scr)
 
-    h_prev = ys_prev_ref[0]
-    g = xg_ref[0] + hg_ref[0]
+    h_prev = ys_prev_ref[0].astype(jnp.float32)
+    g = xg_ref[0] + hg_ref[0].astype(jnp.float32)
     z = jax.nn.sigmoid(g[..., :hidden])
     a = g[..., hidden:]
     relu_a = jax.nn.relu(a)
@@ -94,7 +96,7 @@ def _fwd(xg, w_h, mask):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h2), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h2), jnp.bfloat16),
         ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=INTERPRET,
@@ -105,7 +107,7 @@ def _fwd(xg, w_h, mask):
 def _bwd(xg, w_h, mask, hgs, ys, dy):
     t, b, h2 = xg.shape
     hidden = h2 // 2
-    zrow = jnp.zeros((1, b, hidden), jnp.float32)
+    zrow = jnp.zeros((1, b, hidden), ys.dtype)
     ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
     rev = lambda i: (t - 1 - i, 0, 0)
     dxg = pl.pallas_call(
@@ -126,7 +128,7 @@ def _bwd(xg, w_h, mask, hgs, ys, dy):
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=INTERPRET,
     )(xg, w_h.astype(jnp.bfloat16), mask, hgs, ys_prev, dy)
-    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg,
+    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg.astype(ys_prev.dtype),
                      preferred_element_type=jnp.float32)
     dmask_terms = None  # mask is a constant (no grad needed)
     return dxg, dwh
@@ -142,7 +144,7 @@ def ligru_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray,
 
 def _vjp_fwd(xg, w_h, mask):
     ys, hgs = _fwd(xg, w_h, mask)
-    return ys, (xg, w_h, mask, hgs, ys)
+    return ys, (xg, w_h, mask, hgs, ys.astype(jnp.bfloat16))
 
 
 def _vjp_bwd(res, dy):

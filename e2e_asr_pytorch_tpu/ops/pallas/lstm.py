@@ -75,8 +75,11 @@ def _fwd_kernel(xg_ref, wh_ref, ys_ref, cs_ref, gates_ref, h_scr, c_scr):
     h_scr[...] = h
     c_scr[...] = c
     ys_ref[0] = h
-    cs_ref[0] = c
-    gates_ref[0] = gates
+    # the backward-pass stashes live in HBM until the bwd kernel streams
+    # them back: bf16 halves that traffic and the fwd->bwd residency
+    # (f32[T,B,4H] gates are the single largest training buffer)
+    cs_ref[0] = c.astype(cs_ref.dtype)
+    gates_ref[0] = gates.astype(gates_ref.dtype)
 
 
 def _bwd_kernel(gates_ref, wh_ref, cs_prev_ref, cs_ref, dy_ref,
@@ -89,9 +92,9 @@ def _bwd_kernel(gates_ref, wh_ref, cs_prev_ref, cs_ref, dy_ref,
         dh_scr[...] = jnp.zeros_like(dh_scr)
         dc_scr[...] = jnp.zeros_like(dc_scr)
 
-    c_prev = cs_prev_ref[0]
-    c_t = cs_ref[0]
-    i, f, g, o = _activations(gates_ref[0], hidden)
+    c_prev = cs_prev_ref[0].astype(jnp.float32)
+    c_t = cs_ref[0].astype(jnp.float32)
+    i, f, g, o = _activations(gates_ref[0].astype(jnp.float32), hidden)
     tanh_c = jnp.tanh(c_t)
 
     dh = dy_ref[0] + dh_scr[...]
@@ -136,8 +139,8 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_h: jnp.ndarray):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h4), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.bfloat16),
+            jax.ShapeDtypeStruct((t, b, h4), jnp.bfloat16),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, hidden), jnp.float32),
@@ -152,7 +155,7 @@ def _lstm_bwd_pallas(w_h, ys, cs, gates, dy):
     t, b, h4 = gates.shape
     hidden = h4 // 4
     wh_c = w_h.astype(jnp.bfloat16)
-    zrow = jnp.zeros((1, b, hidden), jnp.float32)
+    zrow = jnp.zeros((1, b, hidden), cs.dtype)
     ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
     cs_prev = jnp.concatenate([zrow, cs[:-1]], axis=0)
 
@@ -177,7 +180,7 @@ def _lstm_bwd_pallas(w_h, ys, cs, gates, dy):
         interpret=INTERPRET,
     )(gates, wh_c, cs_prev, cs, dy)
     # dW_h = sum_t h_{t-1}^T dgates_t — ONE big MXU matmul outside the kernel
-    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg,
+    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg.astype(ys_prev.dtype),
                      preferred_element_type=jnp.float32)
     return dxg, dwh
 
@@ -192,7 +195,8 @@ def lstm_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray) -> jnp.ndarray:
 
 def _rec_fwd(xg, w_h):
     ys, cs, gates = _lstm_fwd_pallas(xg, w_h)
-    return ys, (w_h, ys, cs, gates)
+    # bf16 residuals: ys is returned f32 (layer output) but stashed bf16
+    return ys, (w_h, ys.astype(jnp.bfloat16), cs, gates)
 
 
 def _rec_bwd(res, dy):
@@ -255,8 +259,8 @@ def _fwd_kernel_chunked(xg_ref, wh_ref, ys_ref, cs_ref, gates_ref,
         h_scr[...] = h
         c_scr[...] = c
         ys_ref[0] = h
-        cs_ref[0] = c
-        gates_ref[0] = gates
+        cs_ref[0] = c.astype(cs_ref.dtype)
+        gates_ref[0] = gates.astype(gates_ref.dtype)
 
 
 def _lstm_fwd_pallas_chunked(xg: jnp.ndarray, w_h: jnp.ndarray):
@@ -284,8 +288,8 @@ def _lstm_fwd_pallas_chunked(xg: jnp.ndarray, w_h: jnp.ndarray):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h4), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.bfloat16),
+            jax.ShapeDtypeStruct((t, b, h4), jnp.bfloat16),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, hidden), jnp.float32),
@@ -313,9 +317,9 @@ def _bwd_kernel_chunked(gates_ref, wh_ref, cs_prev_ref, cs_ref, dy_ref,
     # first chunk of each step: full-width elementwise gate backward
     @pl.when(k == 0)
     def _():
-        c_prev = cs_prev_ref[0]
-        c_t = cs_ref[0]
-        i, f, g, o = _activations(gates_ref[0], hidden)
+        c_prev = cs_prev_ref[0].astype(jnp.float32)
+        c_t = cs_ref[0].astype(jnp.float32)
+        i, f, g, o = _activations(gates_ref[0].astype(jnp.float32), hidden)
         tanh_c = jnp.tanh(c_t)
         dh = dy_ref[0] + dh_scr[...]
         do = dh * tanh_c
@@ -344,7 +348,7 @@ def _lstm_bwd_pallas_chunked(w_h, ys, cs, gates, dy):
     n_k = _n_chunks(hidden)
     cw = h4 // n_k
     wh_c = w_h.astype(jnp.bfloat16)
-    zrow = jnp.zeros((1, b, hidden), jnp.float32)
+    zrow = jnp.zeros((1, b, hidden), cs.dtype)
     ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
     cs_prev = jnp.concatenate([zrow, cs[:-1]], axis=0)
 
@@ -370,7 +374,7 @@ def _lstm_bwd_pallas_chunked(w_h, ys, cs, gates, dy):
         ],
         interpret=INTERPRET,
     )(gates, wh_c, cs_prev, cs, dy)
-    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg,
+    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg.astype(ys_prev.dtype),
                      preferred_element_type=jnp.float32)
     return dxg, dwh
 
@@ -386,7 +390,7 @@ def lstm_recurrence_chunked(xg: jnp.ndarray, w_h: jnp.ndarray) -> jnp.ndarray:
 
 def _rec_fwd_chunked(xg, w_h):
     ys, cs, gates = _lstm_fwd_pallas_chunked(xg, w_h)
-    return ys, (w_h, ys, cs, gates)
+    return ys, (w_h, ys.astype(jnp.bfloat16), cs, gates)
 
 
 def _rec_bwd_chunked(res, dy):

@@ -1,0 +1,158 @@
+"""Component-level step profiler for the flagship training recipe.
+
+Times configurable variants of the bench train step on the attached chip so
+the dominant cost can be isolated without parsing device traces:
+
+  python util/profile_step.py --batch 8            # full step (== bench.py)
+  python util/profile_step.py --batch 8 --ctc-only # frontend+encoder+CTC only
+  python util/profile_step.py --batch 32           # batch scaling
+  python util/profile_step.py --fwd-only           # loss forward, no grads
+
+Prints one summary line per invocation. Uses the persistent compile cache;
+run variants sequentially (remote TPU compiles serialize).
+
+Role in the reference: the rd/fw/bw Timer breakdown
+(reference: bin/train_asr.py:259, src/util.py:30-57) — here as an offline
+tool because inside one jitted program the fw/bw split needs separate
+programs to observe.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=12.8)
+    ap.add_argument("--label-len", type=int, default=144)
+    ap.add_argument("--ctc-only", action="store_true",
+                    help="ctc_weight=1.0, no attention decoder")
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="time loss forward only (no grad/update)")
+    ap.add_argument("--no-frontend", action="store_true",
+                    help="feed precomputed features (skip fbank+SpecAugment)")
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _flagship_model_cfg
+    from e2e_asr_pytorch_tpu.models import asr as M
+    from e2e_asr_pytorch_tpu.ops import ctc as ctc_ops
+    from e2e_asr_pytorch_tpu.ops import losses as L
+    from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+    from e2e_asr_pytorch_tpu.ops.specaugment import spec_augment
+    from e2e_asr_pytorch_tpu.train import optim as O
+
+    vocab = 31
+    batch, label_len = args.batch, args.label_len
+    feat_cfg = FeatureConfig(feat_type="fbank", feat_dim=40, delta_order=2,
+                             augment=True)
+    cfg = _flagship_model_cfg(1.0)
+    if args.ctc_only:
+        cfg["ctc_weight"] = 1.0
+    spec = M.build_spec(feat_cfg.out_dim, vocab, **cfg)
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+    tx, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,
+                              lr_scheduler="fixed")
+    opt_state = tx.init(params)
+
+    n_samples = int(args.seconds * 16000)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((batch, n_samples)),
+                      jnp.float32) * 0.1
+    wav_len = jnp.full((batch,), n_samples, jnp.int32)
+    txt = jnp.asarray(rng.integers(3, vocab, (batch, label_len)), jnp.int32)
+    txt_len = jnp.full((batch,), label_len, jnp.int32)
+
+    if args.no_frontend:
+        feat0, feat_len0 = jax.jit(
+            lambda w, wl: extract_features(feat_cfg, w, wl))(wav, wav_len)
+        feat0 = jax.block_until_ready(feat0)
+
+    def loss_fn(p, feat, feat_len, txt, txt_len, r_fwd):
+        if args.ctc_only:
+            ctc_out, enc_len, _, _, _ = M.asr_apply(
+                p, spec, feat, feat_len, 0, tf_rate=1.0, teacher=None,
+                rng=r_fwd, train=True, compute_dtype=jnp.bfloat16)
+            return ctc_ops.ctc_loss(ctc_out, enc_len, txt, txt_len)
+        ctc_out, enc_len, att_out, _, _ = M.asr_apply(
+            p, spec, feat, feat_len, label_len, tf_rate=1.0, teacher=txt,
+            rng=r_fwd, train=True, sample_free=True,
+            compute_dtype=jnp.bfloat16)
+        l_ctc = ctc_ops.ctc_loss(ctc_out, enc_len, txt, txt_len)
+        l_att = L.label_smoothing_loss(att_out, txt, vocab, 0.1)
+        return spec.ctc_weight * l_ctc + (1 - spec.ctc_weight) * l_att
+
+    def full_step(params, opt_state, wav, wav_len, txt, txt_len, rng):
+        r_aug, r_fwd = jax.random.split(rng)
+        if args.no_frontend:
+            feat, feat_len = feat0, feat_len0
+        else:
+            feat, feat_len = extract_features(feat_cfg, wav, wav_len)
+            feat = spec_augment(feat, feat_len, r_aug)
+        if args.fwd_only:
+            loss = loss_fn(params, feat, feat_len, txt, txt_len, r_fwd)
+            return params, opt_state, loss
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, feat, feat_len, txt, txt_len, r_fwd)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step = jax.jit(full_step, donate_argnums=(0, 1))
+    t0 = time.time()
+    compiled = step.lower(params, opt_state, wav, wav_len, txt, txt_len,
+                          jax.random.PRNGKey(1)).compile()
+    compile_s = time.time() - t0
+    for i in range(3):
+        params, opt_state, loss = compiled(params, opt_state, wav, wav_len,
+                                           txt, txt_len,
+                                           jax.random.PRNGKey(1 + i))
+    float(loss)
+
+    times = []
+    for i in range(args.steps):
+        t0 = time.time()
+        params, opt_state, loss = compiled(params, opt_state, wav, wav_len,
+                                           txt, txt_len,
+                                           jax.random.PRNGKey(100 + i))
+        loss.block_until_ready()
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    print(json.dumps({
+        "variant": {"batch": batch, "ctc_only": args.ctc_only,
+                    "fwd_only": args.fwd_only,
+                    "no_frontend": args.no_frontend,
+                    "seconds": args.seconds, "label_len": label_len},
+        "med_ms": round(med * 1e3, 1),
+        "utts_per_sec": round(batch / med, 2),
+        "compile_s": round(compile_s, 1),
+        "flops_per_step": flops,
+        "loss": float(loss),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

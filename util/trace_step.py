@@ -1,0 +1,156 @@
+"""Capture a device trace of the flagship train step and rank HLO ops.
+
+Runs the (cached) bench train step under jax.profiler.trace, then parses the
+captured xplane with tensorboard_plugin_profile to print the top ops by
+device self-time — the op-level view behind the rd/fw/bw bucket timer.
+
+  python util/trace_step.py --batch 8 [--top 30]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=12.8)
+    ap.add_argument("--label-len", type=int, default=144)
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--out", default="/tmp/jax_trace")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _flagship_model_cfg
+    from e2e_asr_pytorch_tpu.models import asr as M
+    from e2e_asr_pytorch_tpu.ops import ctc as ctc_ops
+    from e2e_asr_pytorch_tpu.ops import losses as L
+    from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+    from e2e_asr_pytorch_tpu.ops.specaugment import spec_augment
+    from e2e_asr_pytorch_tpu.train import optim as O
+
+    vocab = 31
+    batch, label_len = args.batch, args.label_len
+    feat_cfg = FeatureConfig(feat_type="fbank", feat_dim=40, delta_order=2,
+                             augment=True)
+    spec = M.build_spec(feat_cfg.out_dim, vocab, **_flagship_model_cfg(1.0))
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+    tx, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,
+                              lr_scheduler="fixed")
+    opt_state = tx.init(params)
+
+    def train_step(params, opt_state, wav, wav_len, txt, txt_len, rng):
+        r_aug, r_fwd = jax.random.split(rng)
+        feat, feat_len = extract_features(feat_cfg, wav, wav_len)
+        feat = spec_augment(feat, feat_len, r_aug)
+
+        def loss_fn(p):
+            ctc_out, enc_len, att_out, _, _ = M.asr_apply(
+                p, spec, feat, feat_len, label_len, tf_rate=1.0, teacher=txt,
+                rng=r_fwd, train=True, sample_free=True,
+                compute_dtype=jnp.bfloat16)
+            l_ctc = ctc_ops.ctc_loss(ctc_out, enc_len, txt, txt_len)
+            l_att = L.label_smoothing_loss(att_out, txt, vocab, 0.1)
+            return spec.ctc_weight * l_ctc + (1 - spec.ctc_weight) * l_att
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+    n_samples = int(args.seconds * 16000)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((batch, n_samples)),
+                      jnp.float32) * 0.1
+    wav_len = jnp.full((batch,), n_samples, jnp.int32)
+    txt = jnp.asarray(rng.integers(3, vocab, (batch, label_len)), jnp.int32)
+    txt_len = jnp.full((batch,), label_len, jnp.int32)
+
+    compiled = step.lower(params, opt_state, wav, wav_len, txt, txt_len,
+                          jax.random.PRNGKey(1)).compile()
+    for i in range(3):
+        params, opt_state, loss = compiled(params, opt_state, wav, wav_len,
+                                           txt, txt_len,
+                                           jax.random.PRNGKey(1 + i))
+    loss.block_until_ready()
+
+    os.makedirs(args.out, exist_ok=True)
+    with jax.profiler.trace(args.out):
+        for i in range(3):
+            params, opt_state, loss = compiled(
+                params, opt_state, wav, wav_len, txt, txt_len,
+                jax.random.PRNGKey(100 + i))
+        loss.block_until_ready()
+
+    _report(args.out, args.top)
+    return 0
+
+
+def _report(trace_dir, top):
+    paths = sorted(glob.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
+    if not paths:
+        print("no xplane captured under", trace_dir)
+        return
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    data, _ = rtd.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", "replace")
+    obj = json.loads(data)
+    # hlo_stats json: {"p": cols, "rows"/... } — handle the gviz table form
+    rows = obj.get("rows", [])
+    cols = [c.get("label", c.get("id", "")) for c in obj.get("cols", [])]
+
+    def col(name):
+        for i, c in enumerate(cols):
+            if name.lower() in c.lower():
+                return i
+        return None
+
+    i_name = col("HLO op name") or col("op name")
+    i_cat = col("category")
+    i_self = col("Total self time (us)") or col("self time")
+    i_prog = col("program")
+    if i_self is None:
+        print("cols:", cols)
+        return
+    entries = []
+    for r in rows:
+        c = r["c"]
+        entries.append((
+            float(c[i_self]["v"] or 0),
+            c[i_cat]["v"] if i_cat is not None else "",
+            c[i_name]["v"] if i_name is not None else "",
+        ))
+    entries.sort(reverse=True)
+    total = sum(e[0] for e in entries)
+    print("total device self time: %.1f us (3 steps)" % total)
+    print("%8s %6s  %-24s %s" % ("self_us", "%", "category", "op"))
+    for e in entries[:top]:
+        print("%8.0f %5.1f%%  %-24s %s" % (e[0], 100 * e[0] / total,
+                                           e[1], e[2][:90]))
+    # category rollup
+    cats = {}
+    for e in entries:
+        cats[e[1]] = cats.get(e[1], 0.0) + e[0]
+    print("\nby category:")
+    for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print("  %8.0f us %5.1f%%  %s" % (v, 100 * v / total, k))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
