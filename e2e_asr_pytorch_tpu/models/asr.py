@@ -203,6 +203,36 @@ def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
                     w_ctx.astype(compute_dtype),
                     preferred_element_type=jnp.float32)
 
+    # hand-written-VJP fast path (the flagship envelope): 2-layer LSTM,
+    # loc/dot attention, no decoder dropout — weight-grad accumulations and
+    # the energy-MLP stash leave the backward scan entirely (see
+    # models/fold_vjp.py for the why and the measured cost)
+    if (dec.layer == 2 and spec.attention.mode in ("loc", "dot")
+            and (dec.dropout == 0 or not train)):
+        from e2e_asr_pytorch_tpu.models import fold_vjp as FV
+        ap = params["attention"]
+        is_loc = spec.attention.mode == "loc"
+        cfg = FV.FoldCfg(spec.attention.mode, spec.attention.temperature,
+                         compute_dtype)
+        feats_t, attn_s = FV.folded_decoder(
+            cfg, xg_emb,
+            vp, cache["key"][:, :, 0, :],
+            cache["loc_band"][0] if is_loc else None,
+            jnp.where(cache["mask"], 0.0, FV.NEG_INF),
+            prev_att0[:, 0, :], dec_state0[0], dec_state0[1],
+            ap["proj_q"]["w"], ap["proj_q"]["b"],
+            ap["loc_proj"]["w"] if is_loc else None,
+            ap["gen_energy"]["w"] if is_loc else None,
+            ap["gen_energy"]["b"] if is_loc else None,
+            layers[0]["w_h"], layers[1]["w_x"], layers[1]["b"],
+            layers[1]["w_h"])
+        logits_t = R.linear(params["decoder"]["char_trans"], feats_t,
+                            compute_dtype)
+        att_output = jnp.swapaxes(logits_t, 0, 1)                 # B,L,V
+        att_align = jnp.transpose(attn_s, (1, 0, 2))[:, None]     # B,1,L,T
+        dec_states = jnp.swapaxes(feats_t, 0, 1) if get_dec_state else None
+        return ctc_output, enc_len, att_output, att_align, dec_states
+
     def step(carry, xs):
         (hs, cs), prev_att = carry
         xg_emb_t, step_rng = xs

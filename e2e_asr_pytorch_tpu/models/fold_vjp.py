@@ -1,0 +1,310 @@
+"""Hand-written VJP for the folded teacher-forced decoder scan.
+
+Why this exists: under XLA's automatic scan differentiation, every weight
+used inside the decode scan gets a full-size gradient accumulator that is
+read-modified-written on EVERY step (f32[1024,4096] x 144 steps for each
+decoder matmul — ~23 ms/step of pure HBM traffic on the flagship bench
+shape), and the attention energy MLP's (B,T,1,300) intermediate is stacked
+across steps (~442 MB). A device trace shows the decoder backward at ~55 ms
+of a 152 ms step from these two effects alone.
+
+This module rewrites the backward pass the same way the Pallas recurrence
+kernels do (ops/pallas/lstm.py): the backward scan emits per-step GATE
+gradients as stacked outputs, weight gradients collapse to a handful of
+whole-sequence einsums AFTER the scan, and the energy-MLP intermediate is
+recomputed from the (tiny) stashed attention weights instead of stored.
+
+Scope (the flagship recipe, reference config librispeech_asr_best.yaml):
+2-layer LSTM decoder, single-head 'loc' or 'dot' attention, pure teacher
+forcing, no decoder dropout, no fusion. models/asr.py falls back to the
+generic scan outside this envelope. Parity-tested against the autodiff
+folded path (tests/test_fold_vjp.py).
+
+Reference semantics: src/asr.py:136-170 (decoder loop), src/asr.py:273-364 +
+src/module.py:1084-1173 (attention).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class FoldCfg(NamedTuple):
+    mode: str           # 'loc' | 'dot'
+    temperature: float
+    compute_dtype: jnp.dtype
+
+
+def _lstm_act(gates, hidden):
+    i = jax.nn.sigmoid(gates[..., :hidden])
+    f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[..., 3 * hidden:])
+    return i, f, g, o
+
+
+def _attn_step(cfg: FoldCfg, q, prev_att, key, band, neg_bias, w_lp, w_e, b_e):
+    """Energy + masked softmax for one step. q: (B,D) post-tanh query proj,
+    prev_att: (B,Te). Returns attn (B,Te)."""
+    cd = cfg.compute_dtype
+    if cfg.mode == "dot":
+        energy = jnp.einsum("bd,btd->bt", q, key,
+                            preferred_element_type=jnp.float32)
+    else:
+        loc = jnp.einsum("bt,tz->bz", prev_att.astype(cd), band.astype(cd),
+                         preferred_element_type=jnp.float32)
+        b_, te = prev_att.shape
+        loc = loc.reshape(b_, te, -1)
+        locpre = jnp.dot(loc.astype(cd), w_lp.astype(cd),
+                         preferred_element_type=jnp.float32)
+        loc_ctx = jnp.tanh(locpre)
+        e_in = jnp.tanh(key + q[:, None, :] + loc_ctx)
+        energy = (jnp.dot(e_in.astype(cd), w_e.astype(cd),
+                          preferred_element_type=jnp.float32) + b_e)[..., 0]
+    energy = energy / cfg.temperature
+    energy = jnp.where(neg_bias < 0, NEG_INF, energy)
+    return jax.nn.softmax(energy, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def folded_decoder(cfg: FoldCfg, xg_emb, vp, key, band, neg_bias, prev0,
+                   h0, c0, w_q, b_q, w_lp, w_e, b_e, w_h1, w_x2, b2, w_h2):
+    """Teacher-forced 2-layer-LSTM decoder scan with folded inputs.
+
+    xg_emb (L,B,4H): embedding half of layer-1 gate pre-activations (+b1).
+    vp (B,Te,4H): values pre-projected by the context half of layer-1 w_x.
+    key (B,Te,D): projected keys. band (Te,Te*Kn) loc operator or None.
+    neg_bias (B,Te): 0 on valid frames, NEG_INF on padding.
+    prev0 (B,Te) initial attention; h0/c0 (2,B,H) initial LSTM state.
+    Returns (feats (L,B,H), attn (L,B,Te)).
+    """
+    (feats, attn), _ = _fwd_scan(cfg, xg_emb, vp, key, band, neg_bias, prev0,
+                                 h0, c0, w_q, b_q, w_lp, w_e, b_e, w_h1,
+                                 w_x2, b2, w_h2)
+    return feats, attn
+
+
+def _fwd_scan(cfg, xg_emb, vp, key, band, neg_bias, prev0, h0, c0,
+              w_q, b_q, w_lp, w_e, b_e, w_h1, w_x2, b2, w_h2):
+    cd = cfg.compute_dtype
+    hidden = w_h1.shape[0]
+
+    def step(carry, xg_emb_t):
+        h1, c1, h2, c2, prev_att = carry
+        query = jnp.concatenate([h1, h2], axis=-1)                 # (B,2H)
+        qpre = jnp.dot(query.astype(cd), w_q.astype(cd),
+                       preferred_element_type=jnp.float32) + b_q
+        q = jnp.tanh(qpre)
+        attn = _attn_step(cfg, q, prev_att, key, band, neg_bias,
+                          w_lp, w_e, b_e)
+        ctxg = jnp.einsum("bt,btg->bg", attn.astype(cd), vp.astype(cd),
+                          preferred_element_type=jnp.float32)
+        gates1 = xg_emb_t + ctxg + jnp.dot(h1.astype(cd), w_h1.astype(cd),
+                                           preferred_element_type=jnp.float32)
+        i1, f1, g1, o1 = _lstm_act(gates1, hidden)
+        c1n = f1 * c1 + i1 * g1
+        h1n = o1 * jnp.tanh(c1n)
+        xg2 = jnp.dot(h1n.astype(cd), w_x2.astype(cd),
+                      preferred_element_type=jnp.float32) + b2
+        gates2 = xg2 + jnp.dot(h2.astype(cd), w_h2.astype(cd),
+                               preferred_element_type=jnp.float32)
+        i2, f2, g2, o2 = _lstm_act(gates2, hidden)
+        c2n = f2 * c2 + i2 * g2
+        h2n = o2 * jnp.tanh(c2n)
+        new_prev = attn if cfg.mode == "loc" else prev_att
+        ys = (h2n, attn, h1n, c1n, c2n, gates1, gates2, q)
+        return (h1n, c1n, h2n, c2n, new_prev), ys
+
+    _, ys = jax.lax.scan(step, (h0[0], c0[0], h0[1], c0[1], prev0), xg_emb)
+    feats, attn_s, h1_s, c1_s, c2_s, gates1_s, gates2_s, q_s = ys
+    res = (attn_s, h1_s, feats, c1_s, c2_s, gates1_s, gates2_s, q_s,
+           vp, key, band, neg_bias, prev0, h0, c0,
+           w_q, w_lp, w_e, w_h1, w_x2, w_h2)
+    return (feats, attn_s), res
+
+
+def _vjp_fwd(cfg, xg_emb, vp, key, band, neg_bias, prev0, h0, c0,
+             w_q, b_q, w_lp, w_e, b_e, w_h1, w_x2, b2, w_h2):
+    return _fwd_scan(cfg, xg_emb, vp, key, band, neg_bias, prev0, h0, c0,
+                     w_q, b_q, w_lp, w_e, b_e, w_h1, w_x2, b2, w_h2)
+
+
+def _vjp_bwd(cfg, res, cts):
+    (attn_s, h1_s, h2_s, c1_s, c2_s, gates1_s, gates2_s, q_s,
+     vp, key, band, neg_bias, prev0, h0, c0,
+     w_q, w_lp, w_e, w_h1, w_x2, w_h2) = res
+    dfeats, dattn_out = cts
+    cd = cfg.compute_dtype
+    l, b, hidden = h1_s.shape
+    te = attn_s.shape[-1]
+    is_loc = cfg.mode == "loc"
+    valid = neg_bias >= 0                                          # (B,Te)
+
+    # shifted stacks: state/attention seen at the START of each step
+    def shifted(s, first):
+        return jnp.concatenate([first[None], s[:-1]], axis=0)
+
+    h1_prev_s = shifted(h1_s, h0[0])
+    h2_prev_s = shifted(h2_s, h0[1])
+    c1_prev_s = shifted(c1_s, c0[0])
+    c2_prev_s = shifted(c2_s, c0[1])
+    prev_att_s = shifted(attn_s, prev0) if is_loc \
+        else jnp.broadcast_to(prev0[None], (l, b, te))
+
+    wq_t = w_q.astype(cd).T
+    wh1_t = w_h1.astype(cd).T
+    wx2_t = w_x2.astype(cd).T
+    wh2_t = w_h2.astype(cd).T
+    if is_loc:
+        wlp_t = w_lp.astype(cd).T
+        band_cd = band.astype(cd)
+
+    def step(carry, xs):
+        dh1, dc1, dh2, dc2, dprev, dkey_acc, dwe_acc, dbe_acc, dwlp_acc = carry
+        (dfeat_t, dattn_out_t, attn, prev_att, h1_prev, h2_prev,
+         c1_prev, c2_prev, c1, c2, gates1, gates2, q) = xs
+
+        # ---- LSTM layer 2 backward
+        dh2_tot = dh2 + dfeat_t
+        i2, f2, g2, o2 = _lstm_act(gates2, hidden)
+        tc2 = jnp.tanh(c2)
+        do2 = dh2_tot * tc2
+        dct2 = dc2 + dh2_tot * o2 * (1.0 - tc2 * tc2)
+        dgates2 = jnp.concatenate([
+            dct2 * g2 * i2 * (1.0 - i2), dct2 * c2_prev * f2 * (1.0 - f2),
+            dct2 * i2 * (1.0 - g2 * g2), do2 * o2 * (1.0 - o2)], axis=-1)
+        dc2_prev = dct2 * f2
+        dh2_prev = jnp.dot(dgates2.astype(cd), wh2_t,
+                           preferred_element_type=jnp.float32)
+        dh1_from_x2 = jnp.dot(dgates2.astype(cd), wx2_t,
+                              preferred_element_type=jnp.float32)
+
+        # ---- LSTM layer 1 backward
+        dh1_tot = dh1 + dh1_from_x2
+        i1, f1, g1, o1 = _lstm_act(gates1, hidden)
+        tc1 = jnp.tanh(c1)
+        do1 = dh1_tot * tc1
+        dct1 = dc1 + dh1_tot * o1 * (1.0 - tc1 * tc1)
+        dgates1 = jnp.concatenate([
+            dct1 * g1 * i1 * (1.0 - i1), dct1 * c1_prev * f1 * (1.0 - f1),
+            dct1 * i1 * (1.0 - g1 * g1), do1 * o1 * (1.0 - o1)], axis=-1)
+        dc1_prev = dct1 * f1
+        dh1_prev = jnp.dot(dgates1.astype(cd), wh1_t,
+                           preferred_element_type=jnp.float32)
+
+        # ---- attention backward (dgates1 is also d(ctxg) and d(xg_emb_t))
+        dattn = jnp.einsum("bg,btg->bt", dgates1.astype(cd), vp.astype(cd),
+                           preferred_element_type=jnp.float32)
+        dattn = dattn + dattn_out_t
+        if is_loc:
+            dattn = dattn + dprev      # step t+1 read attn as its prev_att
+        # softmax (masked energies) backward
+        den = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+        den = jnp.where(valid, den, 0.0) / cfg.temperature
+
+        if is_loc:
+            # recompute the energy MLP intermediates of this step
+            loc = jnp.einsum("bt,tz->bz", prev_att.astype(cd), band_cd,
+                             preferred_element_type=jnp.float32)
+            loc = loc.reshape(b, te, -1)
+            locpre = jnp.dot(loc.astype(cd), w_lp.astype(cd),
+                             preferred_element_type=jnp.float32)
+            loc_ctx = jnp.tanh(locpre)
+            e_in = jnp.tanh(key + q[:, None, :] + loc_ctx)
+            de_in = den[..., None] * w_e[None, None, :, 0]
+            dwe = jnp.einsum("btd,bt->d", e_in, den)[:, None]      # (D,1)
+            dbe = jnp.sum(den, axis=(0, 1))[None]                  # (1,)
+            de_pre = de_in * (1.0 - e_in * e_in)
+            dkey_acc = dkey_acc + de_pre
+            dq = jnp.sum(de_pre, axis=1)                           # (B,D)
+            dlocpre = de_pre * (1.0 - loc_ctx * loc_ctx)
+            dwlp = jnp.einsum("btk,btd->kd", loc, dlocpre)
+            dloc = jnp.dot(dlocpre.astype(cd), wlp_t,
+                           preferred_element_type=jnp.float32)     # (B,Te,Kn)
+            dloc_flat = dloc.reshape(b, -1)                        # (B,Te*Kn)
+            dprev_new = jnp.einsum("bz,tz->bt", dloc_flat.astype(cd), band_cd,
+                                   preferred_element_type=jnp.float32)
+            dwe_acc = dwe_acc + dwe
+            dbe_acc = dbe_acc + dbe
+            dwlp_acc = dwlp_acc + dwlp
+            step_stack = dloc_flat
+        else:
+            dq = jnp.einsum("bt,btd->bd", den, key,
+                            preferred_element_type=jnp.float32)
+            dprev_new = dprev                    # pass-through (unused)
+            step_stack = den
+
+        # query projection backward: q = tanh(query @ w_q + b_q)
+        dqpre = dq * (1.0 - q * q)
+        dquery = jnp.dot(dqpre.astype(cd), wq_t,
+                         preferred_element_type=jnp.float32)       # (B,2H)
+        dh1_prev = dh1_prev + dquery[:, :hidden]
+        dh2_prev = dh2_prev + dquery[:, hidden:]
+
+        new_carry = (dh1_prev, dc1_prev, dh2_prev, dc2_prev, dprev_new,
+                     dkey_acc, dwe_acc, dbe_acc, dwlp_acc)
+        return new_carry, (dgates1, dgates2, dqpre, step_stack)
+
+    d = q_s.shape[-1]
+    zero_carry = (
+        jnp.zeros((b, hidden), jnp.float32), jnp.zeros((b, hidden), jnp.float32),
+        jnp.zeros((b, hidden), jnp.float32), jnp.zeros((b, hidden), jnp.float32),
+        jnp.zeros((b, te), jnp.float32),
+        jnp.zeros((b, te, d), jnp.float32),
+        jnp.zeros((d, 1), jnp.float32), jnp.zeros((1,), jnp.float32),
+        jnp.zeros((w_lp.shape[0] if is_loc else 1, d), jnp.float32),
+    )
+    xs = (dfeats, dattn_out, attn_s, prev_att_s, h1_prev_s, h2_prev_s,
+          c1_prev_s, c2_prev_s, c1_s, c2_s, gates1_s, gates2_s, q_s)
+    final, stacks = jax.lax.scan(step, zero_carry, xs, reverse=True)
+    (dh1_0, dc1_0, dh2_0, dc2_0, dprev_final,
+     dkey_acc, dwe_acc, dbe_acc, dwlp_acc) = final
+    dgates1_s, dgates2_s, dqpre_s, step_stack_s = stacks
+
+    # ---- weight gradients: whole-sequence einsums (the point of this VJP)
+    def wgrad(inp_s, dg_s):
+        return jnp.einsum("lbh,lbg->hg", inp_s.astype(cd), dg_s.astype(cd),
+                          preferred_element_type=jnp.float32)
+
+    d_xg_emb = dgates1_s
+    d_vp = jnp.einsum("lbt,lbg->btg", attn_s.astype(cd),
+                      dgates1_s.astype(cd),
+                      preferred_element_type=jnp.float32)
+    query_s = jnp.concatenate([h1_prev_s, h2_prev_s], axis=-1)
+    d_wq = wgrad(query_s, dqpre_s)
+    d_bq = jnp.sum(dqpre_s, axis=(0, 1))
+    d_wh1 = wgrad(h1_prev_s, dgates1_s)
+    d_wx2 = wgrad(h1_s, dgates2_s)
+    d_b2 = jnp.sum(dgates2_s, axis=(0, 1))
+    d_wh2 = wgrad(h2_prev_s, dgates2_s)
+    if is_loc:
+        d_key = dkey_acc
+        d_band = jnp.einsum("lbt,lbz->tz", prev_att_s.astype(cd),
+                            step_stack_s.astype(cd),
+                            preferred_element_type=jnp.float32)
+        d_wlp, d_we, d_be = dwlp_acc, dwe_acc, dbe_acc
+        d_prev0 = dprev_final
+    else:
+        d_key = jnp.einsum("lbd,lbt->btd", q_s.astype(cd),
+                           step_stack_s.astype(cd),
+                           preferred_element_type=jnp.float32)
+        d_band = None
+        d_wlp = None
+        d_we = None
+        d_be = None
+        d_prev0 = jnp.zeros((b, te), jnp.float32)
+
+    d_h0 = jnp.stack([dh1_0, dh2_0])
+    d_c0 = jnp.stack([dc1_0, dc2_0])
+    d_negbias = jnp.zeros_like(neg_bias)
+    return (d_xg_emb, d_vp, d_key, d_band, d_negbias, d_prev0, d_h0, d_c0,
+            d_wq, d_bq, d_wlp, d_we, d_be, d_wh1, d_wx2, d_b2, d_wh2)
+
+
+folded_decoder.defvjp(_vjp_fwd, _vjp_bwd)

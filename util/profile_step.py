@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--no-frontend", action="store_true",
                     help="feed precomputed features (skip fbank+SpecAugment)")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="one sync at the end instead of per step (hides "
+                         "host/tunnel dispatch latency, like real training)")
     args = ap.parse_args()
 
     import jax
@@ -124,15 +127,24 @@ def main():
                                            jax.random.PRNGKey(1 + i))
     float(loss)
 
-    times = []
-    for i in range(args.steps):
+    if args.pipelined:
         t0 = time.time()
-        params, opt_state, loss = compiled(params, opt_state, wav, wav_len,
-                                           txt, txt_len,
-                                           jax.random.PRNGKey(100 + i))
+        for i in range(args.steps):
+            params, opt_state, loss = compiled(params, opt_state, wav,
+                                               wav_len, txt, txt_len,
+                                               jax.random.PRNGKey(100 + i))
         loss.block_until_ready()
-        times.append(time.time() - t0)
-    med = float(np.median(times))
+        med = (time.time() - t0) / args.steps
+    else:
+        times = []
+        for i in range(args.steps):
+            t0 = time.time()
+            params, opt_state, loss = compiled(params, opt_state, wav,
+                                               wav_len, txt, txt_len,
+                                               jax.random.PRNGKey(100 + i))
+            loss.block_until_ready()
+            times.append(time.time() - t0)
+        med = float(np.median(times))
     flops = None
     try:
         ca = compiled.cost_analysis()

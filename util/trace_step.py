@@ -101,55 +101,39 @@ def main():
 
 
 def _report(trace_dir, top):
+    """Aggregate device-track op durations from the Chrome trace dump."""
+    import gzip
     paths = sorted(glob.glob(
-        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True))
     if not paths:
-        print("no xplane captured under", trace_dir)
+        print("no trace captured under", trace_dir)
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    data, _ = rtd.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    obj = json.loads(data)
-    # hlo_stats json: {"p": cols, "rows"/... } — handle the gviz table form
-    rows = obj.get("rows", [])
-    cols = [c.get("label", c.get("id", "")) for c in obj.get("cols", [])]
-
-    def col(name):
-        for i, c in enumerate(cols):
-            if name.lower() in c.lower():
-                return i
-        return None
-
-    i_name = col("HLO op name") or col("op name")
-    i_cat = col("category")
-    i_self = col("Total self time (us)") or col("self time")
-    i_prog = col("program")
-    if i_self is None:
-        print("cols:", cols)
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device tracks: pid whose process_name mentions TPU/device; fall back to
+    # any track whose events carry a 'run_id'/'correlation' style arg
+    names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in names.items()
+                if "TPU" in n or "/device" in n.lower()}
+    per_op = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        nm = e.get("name", "")
+        per_op[nm] = per_op.get(nm, 0.0) + float(e.get("dur", 0.0))
+    if not per_op:
+        print("no device events; tracks:", sorted(names.values())[:20])
         return
-    entries = []
-    for r in rows:
-        c = r["c"]
-        entries.append((
-            float(c[i_self]["v"] or 0),
-            c[i_cat]["v"] if i_cat is not None else "",
-            c[i_name]["v"] if i_name is not None else "",
-        ))
-    entries.sort(reverse=True)
-    total = sum(e[0] for e in entries)
-    print("total device self time: %.1f us (3 steps)" % total)
-    print("%8s %6s  %-24s %s" % ("self_us", "%", "category", "op"))
-    for e in entries[:top]:
-        print("%8.0f %5.1f%%  %-24s %s" % (e[0], 100 * e[0] / total,
-                                           e[1], e[2][:90]))
-    # category rollup
-    cats = {}
-    for e in entries:
-        cats[e[1]] = cats.get(e[1], 0.0) + e[0]
-    print("\nby category:")
-    for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print("  %8.0f us %5.1f%%  %s" % (v, 100 * v / total, k))
+    entries = sorted(((v, k) for k, v in per_op.items()), reverse=True)
+    total = sum(v for v, _ in entries)
+    print("total device op time: %.0f us (all traced steps)" % total)
+    print("%10s %6s  %s" % ("us", "%", "op"))
+    for v, k in entries[:top]:
+        print("%10.0f %5.1f%%  %s" % (v, 100 * v / total, k[:100]))
 
 
 if __name__ == "__main__":
