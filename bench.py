@@ -4,8 +4,11 @@ Measures end-to-end training-step throughput (utterances/sec/chip) of the
 librispeech_asr_best recipe — VGG-LN frontend + 5x BLSTM-1280 encoder +
 location-aware LAS decoder (2x LSTM-1024) + CTC head, joint loss, Adadelta —
 including the on-device fbank front-end and SpecAugment, on synthetic
-12.8-second utterances (the long-bucket shape where the reference halves its
-batch to 8, src/collect_batch.py:21-24).
+12.8-second utterances (the long bucket). The recipe's configured batch is
+16 (config/librispeech_asr_best.yaml); the reference must HALVE it to 8 on
+this bucket to fit GPU memory (src/collect_batch.py:21-24) — this framework
+trains the full batch 16 (bf16 backward stashes keep the step inside HBM;
+batch 32 also fits, ~133 utts/s, see util/profile_step.py).
 
 Baseline: the reference repo publishes no throughput numbers (README only has
 WER); its recipe on a single V100 runs ~2s/step at batch 8 for this bucket
@@ -44,7 +47,7 @@ def main():
     from e2e_asr_pytorch_tpu.train import optim as O
 
     vocab = 31
-    batch, seconds, label_len = 8, 12.8, 144
+    batch, seconds, label_len = 16, 12.8, 144
     feat_cfg = FeatureConfig(feat_type="fbank", feat_dim=40, delta_order=2,
                              augment=True)
     spec = M.build_spec(feat_cfg.out_dim, vocab, **_flagship_model_cfg(1.0))

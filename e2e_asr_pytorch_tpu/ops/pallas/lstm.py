@@ -109,33 +109,37 @@ def _bwd_kernel(gates_ref, wh_ref, cs_prev_ref, cs_ref, dy_ref,
         di * i * (1.0 - i), df * f * (1.0 - f),
         dg * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)        # B,4H
 
-    dxg_ref[0] = dgates
+    # bf16 out stream: halves the output pipeline's VMEM footprint (the
+    # resident-w_h kernel is within ~100 KB of the scoped budget at B=32)
+    dxg_ref[0] = dgates.astype(dxg_ref.dtype)
     dh_scr[...] = jnp.dot(dgates.astype(wh_ref.dtype),
                           wh_ref[...].T, preferred_element_type=jnp.float32)
     dc_scr[...] = dc_prev
 
 
-def _lstm_fwd_pallas(xg: jnp.ndarray, w_h: jnp.ndarray):
-    """xg: (T,B,4H) f32, w_h: (H,4H). Returns (ys, cs, gates)."""
+def _lstm_fwd_pallas(xg: jnp.ndarray, w_h: jnp.ndarray,
+                     reverse: bool = False):
+    """xg: (T,B,4H) f32, w_h: (H,4H). Returns (ys, cs, gates).
+
+    reverse=True runs the recurrence from t=T-1 down to 0 purely through the
+    BlockSpec index maps — no data flips (each flip of a (T,B,4H) stream is
+    a full HBM read+write)."""
     t, b, h4 = xg.shape
     hidden = h4 // 4
     wh_c = w_h.astype(jnp.bfloat16)
+    fm = (lambda i: (t - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
     ys, cs, gates = pl.pallas_call(
         _fwd_kernel,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), fm, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, h4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), fm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), fm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), fm, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
@@ -151,15 +155,21 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_h: jnp.ndarray):
     return ys, cs, gates
 
 
-def _lstm_bwd_pallas(w_h, ys, cs, gates, dy):
+def _lstm_bwd_pallas(w_h, ys, cs, gates, dy, reverse: bool = False):
     t, b, h4 = gates.shape
     hidden = h4 // 4
     wh_c = w_h.astype(jnp.bfloat16)
     zrow = jnp.zeros((1, b, hidden), cs.dtype)
-    ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
-    cs_prev = jnp.concatenate([zrow, cs[:-1]], axis=0)
+    if reverse:
+        # scan ran t=T-1..0, so the scan-predecessor of data index s is s+1
+        ys_prev = jnp.concatenate([ys[1:], zrow], axis=0)
+        cs_prev = jnp.concatenate([cs[1:], zrow], axis=0)
+    else:
+        ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
+        cs_prev = jnp.concatenate([zrow, cs[:-1]], axis=0)
 
-    rev = lambda i: (t - 1 - i, 0, 0)
+    # walk the grid in the opposite order of the forward scan
+    rev = (lambda i: (i, 0, 0)) if reverse else (lambda i: (t - 1 - i, 0, 0))
     dxg = pl.pallas_call(
         _bwd_kernel,
         grid=(t,),
@@ -172,7 +182,7 @@ def _lstm_bwd_pallas(w_h, ys, cs, gates, dy):
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM), # dy
         ],
         out_specs=pl.BlockSpec((1, b, h4), rev, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, b, h4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, b, h4), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((b, hidden), jnp.float32),
             pltpu.VMEM((b, hidden), jnp.float32),
@@ -180,32 +190,41 @@ def _lstm_bwd_pallas(w_h, ys, cs, gates, dy):
         interpret=INTERPRET,
     )(gates, wh_c, cs_prev, cs, dy)
     # dW_h = sum_t h_{t-1}^T dgates_t — ONE big MXU matmul outside the kernel
-    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg.astype(ys_prev.dtype),
+    dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg,
                      preferred_element_type=jnp.float32)
-    return dxg, dwh
+    return dxg.astype(jnp.float32), dwh
 
 
-@jax.custom_vjp
-def lstm_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray) -> jnp.ndarray:
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_recurrence(reverse: bool):
+    @jax.custom_vjp
+    def rec(xg, w_h):
+        ys, _, _ = _lstm_fwd_pallas(xg, w_h, reverse)
+        return ys
+
+    def fwd(xg, w_h):
+        ys, cs, gates = _lstm_fwd_pallas(xg, w_h, reverse)
+        # bf16 residuals: ys is returned f32 (layer output) but stashed bf16
+        return ys, (w_h, ys.astype(jnp.bfloat16), cs, gates)
+
+    def bwd(res, dy):
+        w_h, ys, cs, gates = res
+        dxg, dwh = _lstm_bwd_pallas(w_h, ys, cs, gates, dy, reverse)
+        return dxg, dwh.astype(w_h.dtype)
+
+    rec.defvjp(fwd, bwd)
+    return rec
+
+
+def lstm_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray,
+                    reverse: bool = False) -> jnp.ndarray:
     """Fused LSTM recurrence: (T,B,4H) gate inputs + (H,4H) recurrent
-    weights -> (T,B,H) hidden states. Zero initial state."""
-    ys, _, _ = _lstm_fwd_pallas(xg, w_h)
-    return ys
-
-
-def _rec_fwd(xg, w_h):
-    ys, cs, gates = _lstm_fwd_pallas(xg, w_h)
-    # bf16 residuals: ys is returned f32 (layer output) but stashed bf16
-    return ys, (w_h, ys.astype(jnp.bfloat16), cs, gates)
-
-
-def _rec_bwd(res, dy):
-    w_h, ys, cs, gates = res
-    dxg, dwh = _lstm_bwd_pallas(w_h, ys, cs, gates, dy)
-    return dxg, dwh.astype(w_h.dtype)
-
-
-lstm_recurrence.defvjp(_rec_fwd, _rec_bwd)
+    weights -> (T,B,H) hidden states (data order). Zero initial state.
+    reverse=True scans t=T-1..0 via kernel index maps (no data flips)."""
+    return _make_recurrence(bool(reverse))(xg, w_h)
 
 
 # --------------------------------------------------------------------------

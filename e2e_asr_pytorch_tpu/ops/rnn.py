@@ -98,16 +98,21 @@ def lstm_layer_pallas(params, x: jnp.ndarray, reverse: bool = False,
     """One LSTM direction via the fused Pallas recurrence kernel
     (zero initial state; VMEM-resident or gate-chunked by hidden size).
     Returns y (B,T,H) only."""
-    from e2e_asr_pytorch_tpu.ops.pallas.lstm import recurrence_fn
-    xg = jnp.einsum("btd,dh->bth", x.astype(compute_dtype),
-                    params["w_x"].astype(compute_dtype),
-                    preferred_element_type=jnp.float32) + params["b"]
-    xg_t = jnp.swapaxes(xg, 0, 1)
-    if reverse:
-        xg_t = jnp.flip(xg_t, axis=0)
-    ys = recurrence_fn(params["w_h"].shape[0])(xg_t, params["w_h"])
-    if reverse:
-        ys = jnp.flip(ys, axis=0)
+    from e2e_asr_pytorch_tpu.ops.pallas import lstm as PL
+    # emit the hoisted projection scan-major directly (no transpose pass)
+    xg_t = jnp.einsum("btd,dh->tbh", x.astype(compute_dtype),
+                      params["w_x"].astype(compute_dtype),
+                      preferred_element_type=jnp.float32) + params["b"]
+    hidden = params["w_h"].shape[0]
+    if PL._fits_vmem(hidden):
+        # reversed scan handled inside the kernel via index maps — no flips
+        ys = PL.lstm_recurrence(xg_t, params["w_h"], reverse=reverse)
+    else:
+        if reverse:
+            xg_t = jnp.flip(xg_t, axis=0)
+        ys = PL.lstm_recurrence_chunked(xg_t, params["w_h"])
+        if reverse:
+            ys = jnp.flip(ys, axis=0)
     return jnp.swapaxes(ys, 0, 1)
 
 

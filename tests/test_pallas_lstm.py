@@ -122,3 +122,30 @@ def test_chunked_equals_resident_kernel():
     y1 = PL.lstm_recurrence(xg, w_h)
     y2 = PL.lstm_recurrence_chunked(xg, w_h)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_reverse_in_kernel_matches_flip():
+    """reverse=True (index-map reversal, no data flips) == flip-sandwich."""
+    rng = np.random.default_rng(3)
+    t, b, h = 9, 3, 8
+    xg = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32)
+    w_h = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.3, jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((t, b, h)), jnp.float32)
+
+    def loss_rev(xg, w):
+        return jnp.sum((PL.lstm_recurrence(xg, w, reverse=True) - tgt) ** 2)
+
+    def loss_flip(xg, w):
+        y = jnp.flip(PL.lstm_recurrence(jnp.flip(xg, 0), w), 0)
+        return jnp.sum((y - tgt) ** 2)
+
+    y1 = PL.lstm_recurrence(xg, w_h, reverse=True)
+    y2 = jnp.flip(PL.lstm_recurrence(jnp.flip(xg, 0), w_h), 0)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6,
+                               atol=1e-6)
+    g1 = jax.grad(loss_rev, argnums=(0, 1))(xg, w_h)
+    g2 = jax.grad(loss_flip, argnums=(0, 1))(xg, w_h)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-5, atol=1e-4)
