@@ -83,15 +83,21 @@ def encoder_init(key: jax.Array, spec: EncoderSpec) -> Dict:
 
 def _rnn_layer_apply(p: Dict, spec: EncoderSpec, l: int, x: jnp.ndarray,
                      x_len: jnp.ndarray, rng: Optional[jax.Array],
-                     train: bool, compute_dtype):
+                     train: bool, compute_dtype, time_major: bool = False):
     # recurrent pass
     if spec.module == "LSTM":
         if spec.bidirection:
-            y = R.bilstm_layer(p["fw"], p["bw"], x, compute_dtype)
+            y = R.bilstm_layer(p["fw"], p["bw"], x, compute_dtype,
+                               time_major=time_major)
         elif R._use_pallas(spec.dim[l]):
-            y = R.lstm_layer_pallas(p["fw"], x, compute_dtype=compute_dtype)
+            y = R.lstm_layer_pallas(p["fw"], x, compute_dtype=compute_dtype,
+                                    time_major=time_major)
         else:
+            if time_major:
+                x = jnp.swapaxes(x, 0, 1)
             y, _ = R.lstm_layer(p["fw"], x, compute_dtype=compute_dtype)
+            if time_major:
+                y = jnp.swapaxes(y, 0, 1)
     elif spec.module == "GRU":
         if spec.bidirection:
             y = R.bigru_layer(p["fw"], p["bw"], x, compute_dtype)
@@ -126,7 +132,13 @@ def _rnn_layer_apply(p: Dict, spec: EncoderSpec, l: int, x: jnp.ndarray,
     if sr > 1:
         x_len = x_len // sr
         if spec.sample_style == "drop":
-            y = y[:, ::sr, :]
+            y = y[::sr] if time_major else y[:, ::sr, :]
+        elif time_major:
+            t, b, d = y.shape
+            t = (t // sr) * sr
+            # group sr consecutive frames along features: (T/sr, B, sr*D)
+            y = jnp.transpose(y[:t].reshape(t // sr, sr, b, d),
+                              (0, 2, 1, 3)).reshape(t // sr, b, sr * d)
         else:
             b, t, d = y.shape
             t = (t // sr) * sr
@@ -157,10 +169,19 @@ def encoder_apply(params: Dict, spec: EncoderSpec, feat: jnp.ndarray,
                                     compute_dtype)
     layers = params["layers"]
     n = len(layers) if num_layers is None else min(num_layers, len(layers))
+    # the LSTM stack runs TIME-MAJOR internally: one transpose in, one out.
+    # The hoisted per-layer projections then read and write contiguous
+    # scan-major streams for the Pallas recurrence kernels — batch-major
+    # einsums forced XLA to insert a layout copy of every layer input.
+    tm = spec.module == "LSTM" and n > 0
+    if tm:
+        x = jnp.swapaxes(x, 0, 1)
     for l in range(n):
         p = layers[l]
         if l in fix_layers:
             p = jax.tree.map(jax.lax.stop_gradient, p)
         x, x_len = _rnn_layer_apply(p, spec, l, x, x_len, rng, train,
-                                    compute_dtype)
+                                    compute_dtype, time_major=tm)
+    if tm:
+        x = jnp.swapaxes(x, 0, 1)
     return x, x_len

@@ -94,13 +94,16 @@ def _use_pallas(hidden: int) -> bool:
 
 
 def lstm_layer_pallas(params, x: jnp.ndarray, reverse: bool = False,
-                      compute_dtype=jnp.float32) -> jnp.ndarray:
+                      compute_dtype=jnp.float32,
+                      time_major: bool = False) -> jnp.ndarray:
     """One LSTM direction via the fused Pallas recurrence kernel
     (zero initial state; VMEM-resident or gate-chunked by hidden size).
-    Returns y (B,T,H) only."""
+    x is (B,T,D), or (T,B,D) with time_major=True — the encoder stack runs
+    time-major end-to-end so the hoisted projections read and write
+    contiguous scan-major streams with no layout copies between layers."""
     from e2e_asr_pytorch_tpu.ops.pallas import lstm as PL
-    # emit the hoisted projection scan-major directly (no transpose pass)
-    xg_t = jnp.einsum("btd,dh->tbh", x.astype(compute_dtype),
+    eq = "tbd,dh->tbh" if time_major else "btd,dh->tbh"
+    xg_t = jnp.einsum(eq, x.astype(compute_dtype),
                       params["w_x"].astype(compute_dtype),
                       preferred_element_type=jnp.float32) + params["b"]
     hidden = params["w_h"].shape[0]
@@ -113,7 +116,7 @@ def lstm_layer_pallas(params, x: jnp.ndarray, reverse: bool = False,
         ys = PL.lstm_recurrence_chunked(xg_t, params["w_h"])
         if reverse:
             ys = jnp.flip(ys, axis=0)
-    return jnp.swapaxes(ys, 0, 1)
+    return ys if time_major else jnp.swapaxes(ys, 0, 1)
 
 
 def lstm_layer(params, x: jnp.ndarray, state=None, reverse: bool = False,
@@ -142,8 +145,10 @@ def lstm_layer(params, x: jnp.ndarray, state=None, reverse: bool = False,
 
 
 def bilstm_layer(params_fw, params_bw, x, compute_dtype=jnp.float32,
-                 fused: bool = True):
+                 fused: bool = True, time_major: bool = False):
     """Bidirectional LSTM; output (B,T,2H) = [fw ; bw] like torch.
+    time_major=True takes/returns (T,B,·) (pallas path; the scan fallback
+    transposes locally).
 
     fused=True runs BOTH directions inside ONE scan (the backward direction's
     inputs/outputs are time-flipped around it): on TPU this halves the number
@@ -154,10 +159,16 @@ def bilstm_layer(params_fw, params_bw, x, compute_dtype=jnp.float32,
     with the recurrent weights resident in VMEM."""
     hidden = params_fw["w_h"].shape[0]
     if _use_pallas(hidden):
-        y_fw = lstm_layer_pallas(params_fw, x, compute_dtype=compute_dtype)
+        y_fw = lstm_layer_pallas(params_fw, x, compute_dtype=compute_dtype,
+                                 time_major=time_major)
         y_bw = lstm_layer_pallas(params_bw, x, reverse=True,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 time_major=time_major)
         return jnp.concatenate([y_fw, y_bw], axis=-1)
+    if time_major:
+        x = jnp.swapaxes(x, 0, 1)
+        y = bilstm_layer(params_fw, params_bw, x, compute_dtype, fused)
+        return jnp.swapaxes(y, 0, 1)
     if not fused:
         y_fw, _ = lstm_layer(params_fw, x, compute_dtype=compute_dtype)
         y_bw, _ = lstm_layer(params_bw, x, reverse=True,
