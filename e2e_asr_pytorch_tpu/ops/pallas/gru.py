@@ -84,25 +84,23 @@ def _bwd_kernel(xg_ref, wh_ref, hg_ref, ys_prev_ref, dy_ref,
                                    preferred_element_type=jnp.float32)
 
 
-def _fwd(xg, w_h, b_h):
+def _fwd(xg, w_h, b_h, reverse: bool = False):
     t, b, h3 = xg.shape
     hidden = h3 // 3
+    fm = (lambda i: (t - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
     ys, hgs = pl.pallas_call(
         _fwd_kernel,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, b, h3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h3), fm, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, h3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), fm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h3), fm, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
@@ -114,12 +112,16 @@ def _fwd(xg, w_h, b_h):
     return ys, hgs
 
 
-def _bwd(xg, w_h, hgs, ys, dy):
+def _bwd(xg, w_h, hgs, ys, dy, reverse: bool = False):
     t, b, h3 = xg.shape
     hidden = h3 // 3
     zrow = jnp.zeros((1, b, hidden), ys.dtype)
-    ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
-    rev = lambda i: (t - 1 - i, 0, 0)
+    if reverse:
+        ys_prev = jnp.concatenate([ys[1:], zrow], axis=0)
+        rev = lambda i: (i, 0, 0)
+    else:
+        ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
+        rev = lambda i: (t - 1 - i, 0, 0)
     dxg, dhg = pl.pallas_call(
         _bwd_kernel,
         grid=(t,),
@@ -148,23 +150,31 @@ def _bwd(xg, w_h, hgs, ys, dy):
     return dxg, dwh, dbh
 
 
-@jax.custom_vjp
-def gru_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray,
-                   b_h: jnp.ndarray) -> jnp.ndarray:
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_recurrence(reverse: bool):
+    @jax.custom_vjp
+    def rec(xg, w_h, b_h):
+        return _fwd(xg, w_h, b_h, reverse)[0]
+
+    def vjp_fwd(xg, w_h, b_h):
+        ys, hgs = _fwd(xg, w_h, b_h, reverse)
+        return ys, (xg, w_h, b_h, hgs, ys.astype(jnp.bfloat16))
+
+    def vjp_bwd(res, dy):
+        xg, w_h, b_h, hgs, ys = res
+        dxg, dwh, dbh = _bwd(xg, w_h, hgs, ys, dy, reverse)
+        return dxg, dwh.astype(w_h.dtype), dbh.astype(b_h.dtype)
+
+    rec.defvjp(vjp_fwd, vjp_bwd)
+    return rec
+
+
+def gru_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray, b_h: jnp.ndarray,
+                   reverse: bool = False) -> jnp.ndarray:
     """Fused GRU recurrence: (T,B,3H) gate inputs (x@W_x+b_x), (H,3H) and
-    (3H,) recurrent weights -> (T,B,H) hidden states. Zero initial state."""
-    return _fwd(xg, w_h, b_h)[0]
-
-
-def _vjp_fwd(xg, w_h, b_h):
-    ys, hgs = _fwd(xg, w_h, b_h)
-    return ys, (xg, w_h, b_h, hgs, ys.astype(jnp.bfloat16))
-
-
-def _vjp_bwd(res, dy):
-    xg, w_h, b_h, hgs, ys = res
-    dxg, dwh, dbh = _bwd(xg, w_h, hgs, ys, dy)
-    return dxg, dwh.astype(w_h.dtype), dbh.astype(b_h.dtype)
-
-
-gru_recurrence.defvjp(_vjp_fwd, _vjp_bwd)
+    (3H,) recurrent weights -> (T,B,H) hidden states (data order). Zero
+    initial state. reverse=True scans t=T-1..0 via kernel index maps."""
+    return _make_recurrence(bool(reverse))(xg, w_h, b_h)

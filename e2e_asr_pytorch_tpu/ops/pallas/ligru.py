@@ -74,25 +74,23 @@ def _bwd_kernel(xg_ref, wh_ref, mask_ref, hg_ref, ys_prev_ref, dy_ref,
                                    preferred_element_type=jnp.float32)
 
 
-def _fwd(xg, w_h, mask):
+def _fwd(xg, w_h, mask, reverse: bool = False):
     t, b, h2 = xg.shape
     hidden = h2 // 2
+    fm = (lambda i: (t - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
     ys, hgs = pl.pallas_call(
         _fwd_kernel,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, b, h2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h2), fm, memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, h2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), fm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h2), fm, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
@@ -104,12 +102,16 @@ def _fwd(xg, w_h, mask):
     return ys, hgs
 
 
-def _bwd(xg, w_h, mask, hgs, ys, dy):
+def _bwd(xg, w_h, mask, hgs, ys, dy, reverse: bool = False):
     t, b, h2 = xg.shape
     hidden = h2 // 2
     zrow = jnp.zeros((1, b, hidden), ys.dtype)
-    ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
-    rev = lambda i: (t - 1 - i, 0, 0)
+    if reverse:
+        ys_prev = jnp.concatenate([ys[1:], zrow], axis=0)
+        rev = lambda i: (i, 0, 0)
+    else:
+        ys_prev = jnp.concatenate([zrow, ys[:-1]], axis=0)
+        rev = lambda i: (t - 1 - i, 0, 0)
     dxg = pl.pallas_call(
         _bwd_kernel,
         grid=(t,),
@@ -134,23 +136,31 @@ def _bwd(xg, w_h, mask, hgs, ys, dy):
     return dxg, dwh
 
 
-@jax.custom_vjp
-def ligru_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray,
-                     mask: jnp.ndarray) -> jnp.ndarray:
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_recurrence(reverse: bool):
+    @jax.custom_vjp
+    def rec(xg, w_h, mask):
+        return _fwd(xg, w_h, mask, reverse)[0]
+
+    def vjp_fwd(xg, w_h, mask):
+        ys, hgs = _fwd(xg, w_h, mask, reverse)
+        return ys, (xg, w_h, mask, hgs, ys.astype(jnp.bfloat16))
+
+    def vjp_bwd(res, dy):
+        xg, w_h, mask, hgs, ys = res
+        dxg, dwh = _bwd(xg, w_h, mask, hgs, ys, dy, reverse)
+        return dxg, dwh.astype(w_h.dtype), jnp.zeros_like(mask)
+
+    rec.defvjp(vjp_fwd, vjp_bwd)
+    return rec
+
+
+def ligru_recurrence(xg: jnp.ndarray, w_h: jnp.ndarray, mask: jnp.ndarray,
+                     reverse: bool = False) -> jnp.ndarray:
     """Fused liGRU recurrence: (T,B,2H) batch-normed gate inputs, (H,2H)
-    recurrent weights, (B,H) recurrent dropout mask -> (T,B,H)."""
-    return _fwd(xg, w_h, mask)[0]
-
-
-def _vjp_fwd(xg, w_h, mask):
-    ys, hgs = _fwd(xg, w_h, mask)
-    return ys, (xg, w_h, mask, hgs, ys.astype(jnp.bfloat16))
-
-
-def _vjp_bwd(res, dy):
-    xg, w_h, mask, hgs, ys = res
-    dxg, dwh = _bwd(xg, w_h, mask, hgs, ys, dy)
-    return dxg, dwh.astype(w_h.dtype), jnp.zeros_like(mask)
-
-
-ligru_recurrence.defvjp(_vjp_fwd, _vjp_bwd)
+    recurrent weights, (B,H) recurrent dropout mask -> (T,B,H) (data order).
+    reverse=True scans t=T-1..0 via kernel index maps (no data flips)."""
+    return _make_recurrence(bool(reverse))(xg, w_h, mask)

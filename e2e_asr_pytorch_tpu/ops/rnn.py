@@ -282,15 +282,15 @@ def gru_layer_pallas(params, x: jnp.ndarray, reverse: bool = False,
                      compute_dtype=jnp.float32) -> jnp.ndarray:
     """One GRU direction via the fused Pallas recurrence (zero init)."""
     from e2e_asr_pytorch_tpu.ops.pallas.gru import gru_recurrence
+    # NOTE: the '->bth' + swapaxes form (not '->tbh') — the CPU backend's
+    # eager DotThunk cannot execute the transposed-output bf16 dot, and this
+    # wrapper runs on CPU in interpret-mode tests (unlike the LSTM path).
     xg = jnp.einsum("btd,dh->bth", x.astype(compute_dtype),
                     params["w_x"].astype(compute_dtype),
                     preferred_element_type=jnp.float32) + params["b_x"]
-    xg_t = jnp.swapaxes(xg, 0, 1)
-    if reverse:
-        xg_t = jnp.flip(xg_t, axis=0)
-    ys = gru_recurrence(xg_t, params["w_h"], params["b_h"])
-    if reverse:
-        ys = jnp.flip(ys, axis=0)
+    # reversed scan handled inside the kernel via index maps (no flips)
+    ys = gru_recurrence(jnp.swapaxes(xg, 0, 1), params["w_h"], params["b_h"],
+                        reverse=reverse)
     return jnp.swapaxes(ys, 0, 1)
 
 
@@ -347,11 +347,10 @@ def ligru_layer(params, x, reverse: bool = False, dropout: float = 0.0,
 
     if _use_pallas_ligru(hidden):
         from e2e_asr_pytorch_tpu.ops.pallas.ligru import ligru_recurrence
-        xs = jnp.flip(xg_t, axis=0) if reverse else xg_t
-        ys = ligru_recurrence(xs, params["w_h"], drop_mask)
-        h_last = ys[-1]
-        if reverse:
-            ys = jnp.flip(ys, axis=0)
+        # reversed scan handled inside the kernel via index maps (no flips)
+        ys = ligru_recurrence(xg_t, params["w_h"], drop_mask,
+                              reverse=reverse)
+        h_last = ys[0] if reverse else ys[-1]
         return jnp.swapaxes(ys, 0, 1), h_last
 
     def step(h, xg_step):
