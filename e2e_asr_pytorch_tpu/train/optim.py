@@ -61,9 +61,16 @@ def build_optimizer(optimizer: str = "Adadelta", lr: float = 1.0,
                     eps: float = 1e-8, lr_scheduler: str = "fixed",
                     weight_decay: float = 0.0, amsgrad: bool = False,
                     grad_clip: float = 5.0,
+                    optim_state_dtype: Optional[str] = None,
                     **unused) -> Tuple[optax.GradientTransformation, Callable]:
     """Returns (optax transform, lr schedule fn). Accepts the reference's
-    hparas keys (extra YAML keys like valid_step flow into **unused)."""
+    hparas keys (extra YAML keys like valid_step flow into **unused).
+
+    optim_state_dtype: optional hparas knob ('bfloat16') storing optimizer
+    accumulators reduced-precision — the Adadelta update is pure HBM
+    bandwidth (params + 2 accumulator trees read+written each step; ~7 ms of
+    the flagship step), so halving accumulator bytes trades a little EMA
+    precision for update time. Math still runs f32 (cast on read)."""
     sched = lr_schedule(lr, lr_scheduler)
     name = optimizer.lower()
     if name == "adadelta":
@@ -81,12 +88,39 @@ def build_optimizer(optimizer: str = "Adadelta", lr: float = 1.0,
     else:
         raise NotImplementedError("optimizer `{}`".format(optimizer))
     tx = optax.chain(optax.clip_by_global_norm(grad_clip), core)
+    if optim_state_dtype:
+        tx = _cast_accumulators(tx, jnp.dtype(optim_state_dtype))
     # skip the update entirely when any grad is non-finite (the reference's
     # NaN grad-norm guard, src/solver.py:99-103). Done with an inline select
     # rather than optax.apply_if_finite — the latter wraps the update in a
     # lax.cond that DOUBLES the compiled program.
     tx = _skip_nonfinite(tx)
     return tx, sched
+
+
+def _cast_accumulators(inner: optax.GradientTransformation, dtype):
+    """Store the inner transform's float accumulators in `dtype`; the update
+    itself still computes in each accumulator's original precision (cast on
+    read, cast back on write). Integer state (step counters) is untouched."""
+    def _down(tree):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, tree)
+
+    def _up(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == dtype else x, tree)
+
+    def init(params):
+        return _down(inner.init(params))
+
+    def update(grads, state, params=None):
+        updates, new_state = inner.update(grads, _up(state), params)
+        return updates, _down(new_state)
+
+    return optax.GradientTransformation(init, update)
 
 
 def _skip_nonfinite(inner: optax.GradientTransformation):

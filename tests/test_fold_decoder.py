@@ -103,3 +103,29 @@ def test_folded_gate_respects_conditions():
                        train=True, sample_free=False, fold_decoder=False)
     np.testing.assert_allclose(np.asarray(out1[2]), np.asarray(out2[2]),
                                atol=1e-6)
+
+
+def test_folded_matches_generic_bf16():
+    """The fold + hand-VJP under the bench's mixed precision (bf16 matmuls,
+    f32 accums) stays within bf16 tolerance of the generic scan."""
+    spec = _spec("loc")
+    params = M.asr_init(jax.random.PRNGKey(4), spec)
+    feat, feat_len, teacher, l = _data(seed=3)
+
+    def loss(p, fold):
+        _, _, att_out, _, _ = M.asr_apply(
+            p, spec, feat, feat_len, l, tf_rate=1.0, teacher=teacher,
+            rng=jax.random.PRNGKey(1), train=True, sample_free=True,
+            fold_decoder=fold, compute_dtype=jnp.bfloat16)
+        tgt = jax.nn.one_hot(teacher, 13)
+        return jnp.mean((jax.nn.log_softmax(att_out) * tgt).sum(-1))
+
+    v_ref, g_ref = jax.value_and_grad(functools.partial(loss, fold=False))(params)
+    v_out, g_out = jax.value_and_grad(functools.partial(loss, fold=True))(params)
+    np.testing.assert_allclose(float(v_ref), float(v_out), rtol=2e-2)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_out = jax.tree_util.tree_leaves(g_out)
+    for (path, a), b_ in zip(flat_ref, flat_out):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=8e-2, atol=5e-2,
+            err_msg=jax.tree_util.keystr(path))

@@ -143,3 +143,33 @@ def test_timer_buckets():
     t.cnt("bw")
     msg = t.show()
     assert "sec/step" in msg and "rd" in msg
+
+
+def test_optim_state_dtype_bf16():
+    """hparas optim_state_dtype: accumulators stored bf16, update math f32;
+    trajectory stays close to the f32-state optimizer."""
+    import optax
+    from e2e_asr_pytorch_tpu.train import optim as O
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 64).reshape(8, 8)}
+    tx32, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,
+                                lr_scheduler="fixed")
+    tx16, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,
+                                lr_scheduler="fixed",
+                                optim_state_dtype="bfloat16")
+    s32, s16 = tx32.init(params), tx16.init(params)
+    # accumulators really are bf16
+    dtypes = {x.dtype for x in jax.tree.leaves(s16)
+              if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)}
+    assert dtypes == {jnp.dtype(jnp.bfloat16)}, dtypes
+
+    p32 = p16 = params
+    for i in range(5):
+        g = {"w": jnp.sin(p32["w"] + i)}
+        u32, s32 = tx32.update(g, s32, p32)
+        p32 = optax.apply_updates(p32, u32)
+        g = {"w": jnp.sin(p16["w"] + i)}
+        u16, s16 = tx16.update(g, s16, p16)
+        p16 = optax.apply_updates(p16, u16)
+    np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
+                               rtol=2e-2, atol=2e-3)

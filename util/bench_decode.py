@@ -1,0 +1,99 @@
+"""Decode throughput/RTF bench: flagship beam search + LM fusion on chip.
+
+Times the published-WER decode setup — flagship ASR encode + batched beam-8
+with CTC-weight 0 at decode, LM weight 0.3 against the 4x LSTM-2048 char
+RNNLM (config/librispeech_test.yaml) — on synthetic 12.8 s utterances, and
+prints utterances/sec and real-time factor. The whole search is ONE jitted
+program (the reference forks a joblib process per utterance,
+bin/test_asr.py:138).
+
+  python util/bench_decode.py [--batch 16] [--beam 8] [--no-lm]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--beam", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=12.8)
+    ap.add_argument("--no-lm", action="store_true")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _flagship_model_cfg
+    from e2e_asr_pytorch_tpu.decode.beam import BeamConfig, beam_decode
+    from e2e_asr_pytorch_tpu.models import asr as M
+    from e2e_asr_pytorch_tpu.models import lm as LM
+    from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+
+    vocab = 31
+    feat_cfg = FeatureConfig(feat_type="fbank", feat_dim=40, delta_order=2)
+    spec = M.build_spec(feat_cfg.out_dim, vocab, **_flagship_model_cfg(1.0))
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+
+    lm_params = lm_spec = None
+    if not args.no_lm:
+        # the flagship LM: 4x LSTM-2048, tied embeddings
+        lm_spec = LM.build_spec(vocab, emb_tying=True, emb_dim=2048,
+                                module="LSTM", dim=2048, n_layers=4,
+                                dropout=0.0)
+        lm_params = LM.lm_init(jax.random.PRNGKey(1), lm_spec)
+
+    n = int(args.seconds * 16000)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((args.batch, n)), jnp.float32) * 0.1
+    wav_len = jnp.full((args.batch,), n, jnp.int32)
+
+    max_steps = int(np.ceil(args.seconds * 100 * 0.30))  # max_len_ratio 0.3
+    cfg = BeamConfig(beam_size=args.beam, min_len_ratio=0.0,
+                     max_len_ratio=0.30, ctc_weight=0.0,
+                     lm_weight=0.0 if args.no_lm else 0.3,
+                     max_steps=max_steps)
+
+    @jax.jit
+    def decode(wav, wav_len):
+        feat, feat_len = extract_features(feat_cfg, wav, wav_len)
+        return beam_decode(params, spec, cfg, feat, feat_len, lm_params,
+                           lm_spec, compute_dtype=jnp.bfloat16)
+
+    t0 = time.time()
+    out = decode(wav, wav_len)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(args.reps):
+        out = decode(wav, wav_len)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / args.reps
+
+    utts_per_sec = args.batch / dt
+    audio_sec = args.batch * args.seconds
+    rtf = dt / audio_sec
+    print(json.dumps({
+        "batch": args.batch, "beam": args.beam, "lm": not args.no_lm,
+        "sec_per_batch": round(dt, 4), "utts_per_sec": round(utts_per_sec, 2),
+        "rtf": round(rtf, 5), "x_realtime": round(1 / rtf, 1),
+        "compile_s": round(compile_s, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Build the 10k-subword model from the train-clean-100 transcript dump
+# (reference: util/clean-100.sh). First flatten the transcripts with
+#   python corpus/subset_text.py --root <LibriSpeech>/train-clean-100 \
+#          --output corpus/clean100.txt
+set -euo pipefail
+INPUT="${1:-corpus/clean100.txt}"
+OUTPUT="${2:-clean100-10k.model}"
+SIZE="${3:-10000}"
+
+echo "__________generate subword model__________"
+python util/generate_vocab_file.py --input "${INPUT}" \
+    --output_file "${OUTPUT}" --vocab_size "${SIZE}" --mode subword
