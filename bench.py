@@ -30,6 +30,7 @@ def main():
     import jax
     import jax.numpy as jnp
     import optax
+    jax.config.update("jax_default_prng_impl", "rbg")  # see main.py
 
     # persistent compile cache: repeated bench runs skip the XLA compile
     import os

@@ -24,6 +24,13 @@ def main(argv=None):
     set_seed(paras.seed)
     if paras.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+    # hardware-backed RBG PRNG for dropout/SpecAugment/sampling: ~3% faster
+    # flagship step than threefry on TPU and partitionable under GSPMD;
+    # still fully deterministic per --seed (the stream values differ from
+    # threefry's, which no behavior depends on). jax.config (not env): the
+    # platform plugin may import jax before this file runs.
+    import jax
+    jax.config.update("jax_default_prng_impl", "rbg")
 
     if paras.lm:
         from e2e_asr_pytorch_tpu.train.train_lm import Solver
