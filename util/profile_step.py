@@ -51,6 +51,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_default_prng_impl", "rbg")  # match bench.py
 
     from __graft_entry__ import _flagship_model_cfg
     from e2e_asr_pytorch_tpu.models import asr as M
