@@ -93,29 +93,46 @@ def _scatter_v(base: jnp.ndarray, idx: jnp.ndarray,
     return out.reshape(base.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "cfg", "lm_spec",
-                                             "emb_reg", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("spec", "compute_dtype"))
+def _encode(params: Dict, spec: M.ASRSpec, feat: jnp.ndarray,
+            feat_len: jnp.ndarray, compute_dtype=jnp.float32):
+    """Encoder pass, jitted SEPARATELY from the beam scan so the big
+    conv/BLSTM program never recompiles with the search program (round-2's
+    single joint program exceeded the tunneled compiler's window)."""
+    return E.encoder_apply(params["encoder"], spec.encoder, feat, feat_len,
+                           train=False, compute_dtype=compute_dtype)
+
+
 def beam_decode(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
                 feat: jnp.ndarray, feat_len: jnp.ndarray,
                 lm_params: Optional[Dict] = None,
                 lm_spec: Optional[LM.LMSpec] = None,
                 emb_reg=None, emb_params: Optional[Dict] = None,
                 compute_dtype=jnp.float32):
-    """Beam-decode a padded batch.
+    """Beam-decode a padded batch (two device programs: encode, then scan).
 
     Returns dict: tokens (B,K,L) best-first, avg_scores (B,K), out_len (B,K).
     """
     assert spec.enable_att, "beam decoder requires an attention decoder"
-    b = feat.shape[0]
+    enc_feat, enc_len = _encode(params, spec, feat, feat_len, compute_dtype)
+    return _beam_scan(params, spec, cfg, enc_feat, enc_len, feat_len,
+                      lm_params, lm_spec, emb_reg, emb_params, compute_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "cfg", "lm_spec",
+                                             "emb_reg", "compute_dtype"))
+def _beam_scan(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
+               enc_feat: jnp.ndarray, enc_len: jnp.ndarray,
+               feat_len: jnp.ndarray,
+               lm_params: Optional[Dict] = None,
+               lm_spec: Optional[LM.LMSpec] = None,
+               emb_reg=None, emb_params: Optional[Dict] = None,
+               compute_dtype=jnp.float32):
+    b = enc_feat.shape[0]
     k = cfg.beam_size
     c = cfg.ctc_beam_size
     v = spec.vocab_size
     l_max = cfg.max_steps
-
-    # ----- encode once -----
-    enc_feat, enc_len = E.encoder_apply(params["encoder"], spec.encoder,
-                                        feat, feat_len, train=False,
-                                        compute_dtype=compute_dtype)
     t_enc = enc_feat.shape[1]
     cache = A.precompute(params["attention"], spec.attention, enc_feat,
                          enc_len, compute_dtype)
@@ -186,17 +203,17 @@ def beam_decode(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
         cur = att_logp
 
         # ---- CTC prefix rescoring on top-C candidates ----
+        # psi is a masked log-sum-exp (no recursion, ops/ctc_prefix.py) —
+        # the forward variables advance AFTER selection, for the one chosen
+        # token per beam, so no (B,K,C,T,2) tensor ever exists
         if cfg.apply_ctc:
             _, cand = jax.lax.top_k(cur, c)                       # B,K,C
-            psi, r_new = CP.score_candidates(
-                ctc_logp, enc_len, carry["r"], carry["psi_prev"], last_tok,
-                cand, t)
+            psi = CP.score_psi(ctc_logp, enc_len, carry["r"], last_tok,
+                               cand, t)
             ctc_char = psi - carry["psi_prev"][:, :, None]        # B,K,C
             scattered = _scatter_v(jnp.full((b, k, v), LOG_ZERO), cand,
                                    ctc_char)
             cur = (1 - cfg.ctc_weight) * cur + cfg.ctc_weight * scattered
-        else:
-            cand, psi, r_new = None, None, None
 
         # block <sos>/<pad> (reference src/decode.py:141)
         cur = cur.at[:, :, 0].set(LOG_ZERO)
@@ -283,21 +300,17 @@ def beam_decode(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
                          if cfg.apply_lm else carry["lm_state"])
 
         if cfg.apply_ctc:
-            r_par = _gather_k(r_new, parent)                      # B,K,C,T,2
-            cand_par = _gather_k(cand, parent)                    # B,K,C
-            psi_par = _gather_k(psi, parent)                      # B,K,C
-            match = cand_par == new_tok[:, :, None]
-            slot = jnp.argmax(match, -1)                          # B,K
-            in_cand = jnp.any(match, -1)
-            r_sel = jnp.take_along_axis(
-                r_par, slot[:, :, None, None, None], axis=2)[:, :, 0]
-            psi_sel = jnp.take_along_axis(psi_par, slot[:, :, None],
-                                          axis=2)[:, :, 0]
-            r_next = jnp.where(in_cand[:, :, None, None], r_sel,
-                               _gather_k(carry["r"], parent))
-            psi_next = jnp.where(in_cand, psi_sel,
-                                 _gather_k(carry["psi_prev"][:, :, None],
-                                           parent)[:, :, 0])
+            # advance the prefix forward variables only for the token each
+            # beam actually took (log-depth associative scan over T); psi for
+            # the taken token is recomputed exactly (the reference falls back
+            # to the parent's psi when the token missed the candidate list —
+            # recomputing is strictly more accurate and shape-free)
+            r_par = _gather_k(carry["r"], parent)                 # B,K,T,2
+            last_par = jnp.take_along_axis(last_tok, parent, axis=1)
+            psi_next = CP.score_psi(ctc_logp, enc_len, r_par, last_par,
+                                    new_tok[:, :, None], t)[:, :, 0]
+            r_next = CP.advance_state(ctc_logp, enc_len, r_par, last_par,
+                                      new_tok, t)
         else:
             r_next, psi_next = carry["r"], carry["psi_prev"]
 

@@ -6,14 +6,27 @@ src/ctc.py:4-108, Watanabe et al. Algo. 2, candidate-restricted
 axis (B utterances) AND a beam axis (K hypotheses) so one program scores the
 whole beam at every decode step.
 
-State per (utterance, beam): r (T,2) — log probs of the prefix ending at
-frame t in a (non-blank, blank); plus psi, the prefix score itself. The
-candidate set (size C = ceil(CTC_BEAM_RATIO*K)) changes per step, so scoring
-takes candidates as a (B,K,C) index array and returns (psi (B,K,C),
-r_new (B,K,C,T,2)) for the chosen expansions to be gathered from.
+The key TPU-first observation (vs the reference's per-frame Python loop and
+round-2's nested lax.scan): the recursion splits into
 
-Padding: frames >= enc_len freeze the recursion (carry), matching the
-reference's exact-length arrays at batch=1.
+  * the prefix SCORE psi_t = logaddexp(psi_{t-1}, phi[t-1] + x[t]) — an
+    order-independent accumulation, i.e. a plain masked log-sum-exp over
+    time. ``score_psi`` computes it with zero sequential steps.
+  * the forward variables r[t] = (r_nb, r_b) — a 2-state linear recurrence
+    in the (logaddexp, +) semiring, needed only for the ONE token each beam
+    actually takes. ``advance_state`` runs it as a log-depth
+    ``lax.associative_scan`` over affine maps instead of a T-step loop.
+
+This removes the round-2 (B,K,C,T,2) materialization (the beam program's
+largest tensor) and the T-sequential inner scan nested inside the decode
+scan — the two things that made the joint program expensive to compile and
+run on-chip.
+
+State per (utterance, beam): r (T,2) — log probs of the prefix ending at
+frame t in a (non-blank, blank); plus psi, the prefix score itself.
+
+Padding: frames >= enc_len freeze the recursion (identity maps), matching
+the reference's exact-length arrays at batch=1.
 """
 
 from __future__ import annotations
@@ -42,97 +55,152 @@ def init_state(ctc_logp: jnp.ndarray, enc_len: jnp.ndarray) -> jnp.ndarray:
     return r
 
 
-def score_candidates(ctc_logp: jnp.ndarray, enc_len: jnp.ndarray,
-                     r_prev: jnp.ndarray, psi_prev: jnp.ndarray,
-                     last_tok: jnp.ndarray, candidates: jnp.ndarray,
-                     prefix_len: jnp.ndarray
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Score candidate extensions of every beam's prefix.
+def _phi(r_prev: jnp.ndarray, same: jnp.ndarray) -> jnp.ndarray:
+    """phi[t] = logaddexp(r_nb[t], r_b[t]), with the non-blank path closed
+    when the candidate repeats the prefix's last token
+    (reference src/ctc.py:87-91).
+
+    r_prev: (..., T, 2); same: (...) bool broadcast against the leading dims.
+    Returns (..., T).
+    """
+    r_nb = jnp.where(same[..., None], LOG_ZERO, r_prev[..., 0])
+    return jnp.logaddexp(r_nb, r_prev[..., 1])
+
+
+def score_psi(ctc_logp: jnp.ndarray, enc_len: jnp.ndarray,
+              r_prev: jnp.ndarray, last_tok: jnp.ndarray,
+              candidates: jnp.ndarray, prefix_len: jnp.ndarray
+              ) -> jnp.ndarray:
+    """Prefix scores psi for candidate extensions — NO recursion.
+
+    psi = logaddexp(psi0, LSE_{t in [start, enc_len)} phi[t-1] + x[t]) with
+    psi0 = x[0] for the empty prefix else log-zero; the eos candidate instead
+    scores logaddexp(r_nb, r_b) at the last valid frame
+    (reference src/ctc.py:95-107).
 
     Args:
       ctc_logp:   (B,T,V) log-softmax CTC output.
       enc_len:    (B,) valid frame counts.
       r_prev:     (B,K,T,2) prefix forward variables.
-      psi_prev:   (B,K) previous prefix scores (unused by the recursion but
-                  kept for interface symmetry with the reference).
       last_tok:   (B,K) last token of each prefix (0 when empty).
       candidates: (B,K,C) int32 candidate token ids.
       prefix_len: scalar int32 — current prefix length (uniform across the
                   beam: every live hypothesis at step t has length t).
 
-    Returns (psi (B,K,C), r_new (B,K,C,T,2)).
+    Returns psi (B,K,C) float32.
     """
     b, t, v = ctc_logp.shape
     k = r_prev.shape[1]
     c = candidates.shape[-1]
-    blank_lp = ctc_logp[:, :, 0]                                  # (B,T)
 
-    # x[t, cand] per beam: gather candidate emissions (B,K,C,T)
-    x = jnp.take_along_axis(
-        ctc_logp[:, None, :, :].repeat(k, axis=1),                # B,K,T,V
-        candidates[:, :, None, :].repeat(t, axis=2), axis=3)      # B,K,T,C
-    x = jnp.moveaxis(x, 3, 2)                                     # B,K,C,T
+    # x[b,k,t,c] = ctc_logp[b,t,candidates[b,k,c]] via broadcasting gather
+    x = jnp.take_along_axis(ctc_logp[:, None, :, :],
+                            candidates[:, :, None, :], axis=3)     # B,K,T,C
+    x = jnp.moveaxis(x, 3, 2)                                      # B,K,C,T
 
-    # phi[t, cand] = logaddexp(r_prev_nb, r_prev_b) with the non-blank path
-    # closed when cand == last token of the prefix (reference src/ctc.py:87-91)
     same = (candidates == last_tok[:, :, None]) & (prefix_len > 0)  # B,K,C
-    r_nb = jnp.where(same[:, :, :, None], LOG_ZERO,
-                     r_prev[:, :, None, :, 0])                    # B,K,C,T
-    phi = jnp.logaddexp(r_nb, r_prev[:, :, None, :, 1])           # B,K,C,T
+    phi = _phi(r_prev[:, :, None], same)                           # B,K,C,T
 
     start = jnp.maximum(1, prefix_len)
-    steps = jnp.arange(t)                                         # (T,)
-    active = steps[None, :] < enc_len[:, None]                    # B,T
+    steps = jnp.arange(1, t)                                       # t = 1..T-1
+    valid = (steps[None, :] >= start) & (steps[None, :] < enc_len[:, None])
+    contrib = jnp.where(valid[:, None, None, :],
+                        phi[..., :-1] + x[..., 1:], LOG_ZERO)      # B,K,C,T-1
+    psi0 = jnp.where(prefix_len == 0, x[..., 0], LOG_ZERO)         # B,K,C
+    psi = jnp.logaddexp(psi0, jax.nn.logsumexp(contrib, axis=-1))
 
-    # t = 0 row: only valid for the empty prefix
-    r0_nb = jnp.where(prefix_len == 0, x[:, :, :, 0], LOG_ZERO)   # B,K,C
-    r0_b = jnp.full((b, k, c), LOG_ZERO)
-    # psi starts at r[start-1, 0] — LOG_ZERO unless prefix empty (then x[0])
-    psi0 = r0_nb
-
-    xs = {
-        "x": jnp.moveaxis(x, 3, 0),          # T,B,K,C
-        "phi": jnp.moveaxis(phi, 3, 0),      # T,B,K,C
-        "blank": jnp.moveaxis(
-            blank_lp[:, None, None, :].repeat(k, 1).repeat(c, 2), 3, 0),
-        "act": jnp.moveaxis(
-            active[:, None, None, :].repeat(k, 1).repeat(c, 2), 3, 0),
-        "t": steps,
-    }
-
-    def step(carry, inp):
-        r_nb_p, r_b_p, psi = carry                               # B,K,C each
-        # update only for start <= t < enc_len; otherwise carry (this both
-        # freezes padding frames and leaves rows before the prefix at the
-        # init values, matching the reference's logzero prefix rows)
-        upd = (inp["t"] >= start) & inp["act"]
-        nb_new = jnp.logaddexp(r_nb_p, inp["phi_prev"]) + inp["x"]
-        bl_new = jnp.logaddexp(r_b_p, r_nb_p) + inp["blank"]
-        psi_new = jnp.logaddexp(psi, inp["phi_prev"] + inp["x"])
-        nb = jnp.where(upd, nb_new, r_nb_p)
-        bl = jnp.where(upd, bl_new, r_b_p)
-        psi = jnp.where(upd, psi_new, psi)
-        return (nb, bl, psi), (nb, bl)
-
-    # shift phi by one (phi[t-1] feeds step t)
-    phi_t = xs["phi"]
-    phi_prev = jnp.concatenate([jnp.full((1, b, k, c), LOG_ZERO),
-                                phi_t[:-1]], axis=0)
-    scan_in = {"x": xs["x"], "phi_prev": phi_prev, "blank": xs["blank"],
-               "act": xs["act"], "t": xs["t"]}
-    (_, _, psi), (nb_rows, b_rows) = jax.lax.scan(
-        step, (r0_nb, r0_b, psi0), scan_in)
-    r_new = jnp.stack([nb_rows, b_rows], axis=-1)                 # T,B,K,C,2
-    # overwrite t=0 with the init row (scan step 0 ran with run=False keeps it)
-    r_new = jnp.moveaxis(r_new, 0, 3)                             # B,K,C,T,2
-
-    # eos candidate: psi = logaddexp(r_prev_nb, r_prev_b) at the LAST valid
-    # frame (reference src/ctc.py:106-107)
-    last_idx = jnp.maximum(enc_len - 1, 0)                        # (B,)
+    # eos candidate: psi = logaddexp(r_nb, r_b) at the LAST valid frame
+    last_idx = jnp.maximum(enc_len - 1, 0)[:, None, None]          # B,1,1
     sum_last = jnp.logaddexp(
-        jnp.take_along_axis(r_prev[..., 0], last_idx[:, None, None].repeat(k, 1), axis=2),
-        jnp.take_along_axis(r_prev[..., 1], last_idx[:, None, None].repeat(k, 1), axis=2))
-    sum_last = sum_last[:, :, 0]                                  # B,K
-    is_eos = candidates == 1
-    psi = jnp.where(is_eos, sum_last[:, :, None], psi)
-    return psi, r_new
+        jnp.take_along_axis(r_prev[..., 0], last_idx, axis=2),
+        jnp.take_along_axis(r_prev[..., 1], last_idx, axis=2))[:, :, 0]
+    psi = jnp.where(candidates == 1, sum_last[:, :, None], psi)
+    return psi
+
+
+def _log_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(..., n, m) x (..., m, p) matrix product in the (logaddexp, +)
+    semiring."""
+    return jax.nn.logsumexp(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+
+def _compose(e1, e2):
+    """Combine affine maps v -> A v (+) b for associative_scan: the first
+    argument accumulates the EARLIER timesteps, so the result is e2 ∘ e1."""
+    a1, b1 = e1
+    a2, b2 = e2
+    return (_log_matmul(a2, a1),
+            jnp.logaddexp(_log_matmul(a2, b1[..., None])[..., 0], b2))
+
+
+def advance_state(ctc_logp: jnp.ndarray, enc_len: jnp.ndarray,
+                  r_prev: jnp.ndarray, last_tok: jnp.ndarray,
+                  new_tok: jnp.ndarray, prefix_len: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """Advance r by one token per beam: r_new (B,K,T,2) for `new_tok`.
+
+    The per-frame recursion (reference src/ctc.py:92-94)
+        r_nb[t] = logaddexp(r_nb[t-1], phi[t-1]) + x[t]
+        r_b[t]  = logaddexp(r_b[t-1],  r_nb[t-1]) + blank[t]
+    is affine in the (logaddexp, +) semiring, so the whole T axis runs as a
+    log-depth associative scan of 2x2 affine maps — no sequential loop.
+    Frozen frames (t < start or t >= enc_len) compose the identity map.
+    """
+    b, t, v = ctc_logp.shape
+    k = r_prev.shape[1]
+
+    x = jnp.take_along_axis(ctc_logp[:, None, :, :],
+                            new_tok[:, :, None, None], axis=3)[..., 0]  # B,K,T
+    blank = ctc_logp[:, None, :, 0]                                # B,1,T
+    same = (new_tok == last_tok) & (prefix_len > 0)                # B,K
+    phi = _phi(r_prev, same)                                       # B,K,T
+    phi_prev = jnp.concatenate(
+        [jnp.full((b, k, 1), LOG_ZERO), phi[..., :-1]], axis=-1)   # B,K,T
+
+    start = jnp.maximum(1, prefix_len)
+    steps = jnp.arange(t)
+    upd = ((steps[None, :] >= start) &
+           (steps[None, :] < enc_len[:, None]))[:, None, :]        # B,1,T
+    lz = jnp.full((b, k, t), LOG_ZERO)
+    zero = jnp.zeros((b, k, t))
+    blank_bk = jnp.broadcast_to(blank, (b, k, t))
+    # A[t] = [[x, LZ], [blank, blank]]; b[t] = [phi[t-1]+x, LZ]
+    a = jnp.stack([jnp.stack([x, lz], -1),
+                   jnp.stack([blank_bk, blank_bk], -1)], -2)       # B,K,T,2,2
+    bb = jnp.stack([phi_prev + x, lz], -1)                         # B,K,T,2
+    ident = jnp.stack([jnp.stack([zero, lz], -1),
+                       jnp.stack([lz, zero], -1)], -2)
+    a = jnp.where(upd[..., None, None], a, ident)
+    bb = jnp.where(upd[..., None], bb, LOG_ZERO)
+
+    a_t = jnp.moveaxis(a, 2, 0)                                    # T,B,K,2,2
+    b_t = jnp.moveaxis(bb, 2, 0)                                   # T,B,K,2
+    a_pref, b_pref = jax.lax.associative_scan(_compose, (a_t, b_t))
+
+    # v_init: t=-1 state = init row (x[0]/LZ for the empty prefix, else LZ/LZ)
+    r0_nb = jnp.where(prefix_len == 0, x[..., 0], LOG_ZERO)        # B,K
+    v_init = jnp.stack([r0_nb, jnp.full((b, k), LOG_ZERO)], -1)    # B,K,2
+    r_new = jnp.logaddexp(
+        _log_matmul(a_pref, v_init[None, ..., None])[..., 0], b_pref)
+    return jnp.moveaxis(r_new, 0, 2)                               # B,K,T,2
+
+
+def score_candidates(ctc_logp: jnp.ndarray, enc_len: jnp.ndarray,
+                     r_prev: jnp.ndarray, psi_prev: jnp.ndarray,
+                     last_tok: jnp.ndarray, candidates: jnp.ndarray,
+                     prefix_len: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score candidate extensions AND materialize their forward variables.
+
+    Compatibility surface over ``score_psi`` + ``advance_state`` (the beam
+    decoder itself never materializes r for all candidates — it advances only
+    the selected token). Returns (psi (B,K,C), r_new (B,K,C,T,2)).
+    """
+    del psi_prev  # kept for interface symmetry with the reference
+    psi = score_psi(ctc_logp, enc_len, r_prev, last_tok, candidates,
+                    prefix_len)
+    adv = jax.vmap(
+        lambda tok: advance_state(ctc_logp, enc_len, r_prev, last_tok,
+                                  tok, prefix_len),
+        in_axes=2, out_axes=2)(candidates)                         # B,K,C,T,2
+    return psi, adv

@@ -66,9 +66,13 @@ def main():
                      lm_weight=0.0 if args.no_lm else 0.3,
                      max_steps=max_steps)
 
-    @jax.jit
+    # three separate programs (features, encoder, beam scan) — the round-2
+    # single joint program's AOT compile exceeded the tunneled compiler's
+    # window; beam_decode itself jits encode and scan separately
+    feats_jit = jax.jit(lambda w, wl: extract_features(feat_cfg, w, wl))
+
     def decode(wav, wav_len):
-        feat, feat_len = extract_features(feat_cfg, wav, wav_len)
+        feat, feat_len = feats_jit(wav, wav_len)
         return beam_decode(params, spec, cfg, feat, feat_len, lm_params,
                            lm_spec, compute_dtype=jnp.bfloat16)
 
