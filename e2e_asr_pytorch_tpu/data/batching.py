@@ -378,9 +378,16 @@ class TextBatchIterator:
 
 def prefetch(iterator, size: int = 2, to_device=None):
     """Run an iterator in a background thread, optionally moving batches to
-    device (jax.device_put), keeping `size` batches in flight."""
+    device (jax.device_put), keeping `size` batches in flight.
+
+    Worker exceptions (corrupt audio file, loader OOM, ...) are captured and
+    re-raised in the consumer thread — a failure must abort the epoch loudly,
+    never silently truncate it (training infra discipline; the reference
+    inherits the same property from torch DataLoader worker propagation).
+    """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    _ERR = object()
 
     def worker():
         try:
@@ -388,7 +395,9 @@ def prefetch(iterator, size: int = 2, to_device=None):
                 if to_device is not None:
                     batch = to_device(batch)
                 q.put(batch)
-        finally:
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            q.put((_ERR, e))
+        else:
             q.put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
@@ -397,4 +406,8 @@ def prefetch(iterator, size: int = 2, to_device=None):
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise RuntimeError(
+                "prefetch worker failed while producing a batch"
+            ) from item[1]
         yield item

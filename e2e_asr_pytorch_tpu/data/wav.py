@@ -93,11 +93,17 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
         try:
             from e2e_asr_pytorch_tpu.data.flac import read_flac
             return read_flac(path)
-        except Exception:
+        except Exception as e:
             if _FLAC_BIN is None:
-                raise
-        out = subprocess.run([_FLAC_BIN, "-d", "-c", "-s", path],
-                             check=True, capture_output=True).stdout
+                raise ValueError(
+                    "failed to decode FLAC file %r: %s" % (path, e)) from e
+        try:
+            out = subprocess.run([_FLAC_BIN, "-d", "-c", "-s", path],
+                                 check=True, capture_output=True).stdout
+        except subprocess.CalledProcessError as e:
+            raise ValueError(
+                "failed to decode FLAC file %r (flac CLI rc=%d)"
+                % (path, e.returncode)) from e
         return read_wav_bytes(out)
     raise ValueError("unsupported audio format: " + path)
 

@@ -91,6 +91,38 @@ def test_prefetch_preserves_order_and_content():
     np.testing.assert_allclose(direct, pre)
 
 
+def test_prefetch_reraises_worker_exception():
+    """A failure inside the producer must surface in the consumer, not
+    silently truncate the epoch."""
+    import pytest
+
+    def gen():
+        yield {"x": 1}
+        raise OSError("disk dropped mid-epoch")
+
+    it = prefetch(gen(), size=2)
+    assert next(it) == {"x": 1}
+    with pytest.raises(RuntimeError, match="prefetch worker failed") as exc:
+        next(it)
+    assert isinstance(exc.value.__cause__, OSError)
+
+
+def test_prefetch_reraises_on_corrupt_flac(tmp_path):
+    """A corrupt FLAC mid-epoch aborts the iterator with the file named."""
+    import pytest
+    bad = tmp_path / "corrupt.flac"
+    bad.write_bytes(b"fLaC" + b"\x00" * 64)   # valid magic, garbage stream
+    good = load_synthetic(_tok(), n_utts=3, min_tokens=3, max_tokens=6,
+                          seed=0)
+    items = list(good.items)
+    items.insert(1, (str(bad), [3, 4, 1]))
+    ds = AudioDataset(items, [10.0] * len(items))
+    it = prefetch(iter(AudioBatchIterator(ds, 2, "eval", seed=0)), size=2)
+    with pytest.raises(RuntimeError) as exc:
+        list(it)
+    assert "corrupt.flac" in str(exc.value.__cause__)
+
+
 def test_shuffle_is_seeded_and_epochwise():
     ds = load_synthetic(_tok(), n_utts=32, seed=0)
     it = AudioBatchIterator(ds, 4, "train", seed=7)
