@@ -79,6 +79,7 @@ def test_upstream_callable_shapes(tmp_path):
     assert int(feat_len[1]) <= int(feat_len[0])
 
 
+@pytest.mark.slow
 def test_apc_upstream_through_solver(tmp_path, monkeypatch):
     """Pretrained APC -> $APC_CKPT -> --upstream apc -> Featemb vgg=7 ->
     full train step, end-to-end."""

@@ -14,6 +14,10 @@ blocked from expansion unconditionally (the reference only blocks it when
 CTC rescoring is enabled, src/decode.py:141 — a latent bug, not a feature).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # nightly tier: pytest -m slow
+
 import os
 import sys
 from dataclasses import dataclass, field

@@ -51,6 +51,7 @@ def test_predictor_contextual_targets(bert_dir):
     assert not np.allclose(emb[0, 0], emb2[0, 0])
 
 
+@pytest.mark.slow
 def test_online_bert_through_solver(tmp_path, bert_dir):
     from e2e_asr_pytorch_tpu.train.train_asr import Solver
     cfg = copy.deepcopy(TINY_ASR)

@@ -1,0 +1,132 @@
+"""Every shipped YAML recipe parses and constructs its model spec, and the
+subword tokenizer path (reference config/libri/asr_example.yaml +
+src/text.py:117-122) is runnable — including the greedy no-sentencepiece
+fallback, which must warn loudly and stay lossless."""
+
+import glob
+import os
+import warnings
+
+import pytest
+import yaml
+
+from e2e_asr_pytorch_tpu.data.tokenizer import load_text_encoder
+from e2e_asr_pytorch_tpu.models import asr as M
+from e2e_asr_pytorch_tpu.models import lm as LM
+from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(path):
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _asr_configs():
+    out = []
+    for p in glob.glob(os.path.join(ROOT, "config", "**", "*.yaml"),
+                       recursive=True):
+        cfg = _load(p)
+        if "model" in cfg and "encoder" in cfg["model"]:
+            out.append(p)
+    return sorted(out)
+
+
+def _lm_configs():
+    out = []
+    for p in glob.glob(os.path.join(ROOT, "config", "**", "*.yaml"),
+                       recursive=True):
+        cfg = _load(p)
+        if "model" in cfg and "emb_dim" in cfg["model"]:
+            out.append(p)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("path", _asr_configs())
+def test_asr_config_builds_spec(path):
+    cfg = _load(path)
+    feat_cfg = FeatureConfig(**cfg["data"]["audio"])
+    vocab_file = os.path.join(ROOT, cfg["data"]["text"]["vocab_file"])
+    if os.path.exists(vocab_file):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            tok = load_text_encoder(cfg["data"]["text"]["mode"], vocab_file)
+        vocab = tok.vocab_size
+    else:
+        vocab = 31
+    spec = M.build_spec(feat_cfg.out_dim, vocab, **cfg["model"])
+    assert spec.vocab_size == vocab
+    assert spec.encoder.out_dim > 0
+
+
+@pytest.mark.parametrize("path", _lm_configs())
+def test_lm_config_builds_spec(path):
+    cfg = _load(path)
+    spec = LM.build_spec(31, **cfg["model"])
+    assert spec.dim > 0
+
+
+def test_decode_configs_reference_training_configs():
+    for p in glob.glob(os.path.join(ROOT, "config", "**", "*.yaml"),
+                       recursive=True):
+        cfg = _load(p)
+        if "decode" not in cfg:
+            continue
+        assert os.path.exists(os.path.join(ROOT, cfg["src"]["config"])), p
+        for key in ("beam_size", "min_len_ratio", "max_len_ratio"):
+            assert key in cfg["decode"], (p, key)
+
+
+def test_prenet_alias_matches_vgg1():
+    """Upstream-parent `prenet: 'vgg'` configs build the same encoder as
+    vgg code 1."""
+    from e2e_asr_pytorch_tpu.models import encoder as E
+    kw = dict(module="LSTM", bidirection=True, dim=[64], dropout=[0.0],
+              layer_norm=[False], proj=[True], sample_rate=[1],
+              sample_style="drop")
+    a = E.make_spec(120, prenet="vgg", **kw)
+    b = E.make_spec(120, vgg=1, vgg_freq=-1, vgg_low_filt=-1, **kw)
+    assert a == b
+
+
+SAMPLE_VOCAB = os.path.join(ROOT, "tests", "sample_data",
+                            "subword-256.vocab")
+SAMPLE_TEXT = os.path.join(ROOT, "tests", "sample_data", "sample_text.txt")
+
+
+def test_subword_fallback_warns_loudly():
+    with pytest.warns(RuntimeWarning, match="NOT comparable"):
+        load_text_encoder("subword", SAMPLE_VOCAB)
+
+
+def test_subword_fallback_divergence_bound():
+    """The greedy fallback differs from sentencepiece segmentation but must
+    be LOSSLESS (exact round-trip => error-rate metrics remain meaningful)
+    and must keep <unk> emissions at zero on in-domain text."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tok = load_text_encoder("subword", SAMPLE_VOCAB)
+    n_unk = n_tok = 0
+    with open(SAMPLE_TEXT) as f:
+        for line in f:
+            line = line.strip("\r\n ")
+            ids = tok.encode(line)
+            assert tok.decode(ids) == line
+            n_unk += sum(1 for i in ids if i == 2)
+            n_tok += len(ids)
+    assert n_tok > 0 and n_unk == 0
+
+
+def test_bpe_trainer_emits_loadable_vocab(tmp_path):
+    src = tmp_path / "text.txt"
+    src.write_text("HELLO WORLD\nHELLO THERE WORLD\nWORLD OF HELLO\n" * 4)
+    import sys
+    sys.path.insert(0, os.path.join(ROOT, "util"))
+    from generate_vocab_file import train_bpe_vocab
+    out = train_bpe_vocab(str(src), str(tmp_path / "bpe"), 64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tok = load_text_encoder("subword", out)
+    ids = tok.encode("HELLO WORLD")
+    assert tok.decode(ids) == "HELLO WORLD"

@@ -1,6 +1,8 @@
 """End-to-end embedding-regularizer training + fusion decoding (the `emb:`
 config block, reference bin/train_asr.py:137-147 + src/plugin.py)."""
 
+pytestmark = __import__("pytest").mark.slow  # nightly tier: pytest -m slow
+
 import copy
 import os
 import sys

@@ -162,6 +162,7 @@ def test_native_flac_loader_beats_serial_decode(tmp_path):
     assert native_rate > 20, (speedup, native_rate)
 
 
+@pytest.mark.slow
 def test_flac_corpus_through_solver(tmp_path):
     """LibriSpeech-layout FLAC corpus end-to-end through the real ASR
     solver (the format the reference trains on)."""

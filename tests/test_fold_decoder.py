@@ -63,6 +63,7 @@ def test_folded_matches_generic(att_mode, get_dec_state):
 
 
 @pytest.mark.parametrize("att_mode", ["loc", "dot"])
+@pytest.mark.slow
 def test_folded_grads_match_generic(att_mode):
     spec = _spec(att_mode)
     params = M.asr_init(jax.random.PRNGKey(2), spec)
@@ -105,6 +106,7 @@ def test_folded_gate_respects_conditions():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_folded_matches_generic_bf16():
     """The fold + hand-VJP under the bench's mixed precision (bf16 matmuls,
     f32 accums) stays within bf16 tolerance of the generic scan."""

@@ -3,6 +3,8 @@ with the test solver (greedy + beam), score with the offline eval tools.
 Plays the role of the reference's debug.yaml manual smoke workflow — but
 automated."""
 
+pytestmark = __import__("pytest").mark.slow  # nightly tier: pytest -m slow
+
 import copy
 import os
 import sys

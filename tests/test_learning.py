@@ -8,6 +8,10 @@ clamp-normalized fbank features have so little contrast that CTC needs >10k
 steps to break the blank-collapse plateau).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # nightly tier: pytest -m slow
+
 import os
 import sys
 

@@ -79,6 +79,7 @@ def test_text_corpus_for_lm(libri_root):
     assert all(len(texts[i]) >= len(texts[i + 1]) for i in range(5))
 
 
+@pytest.mark.slow
 def test_train_solver_on_librispeech_layout(tmp_path, libri_root):
     from e2e_asr_pytorch_tpu.train.train_asr import Solver
     cfg = copy.deepcopy(TINY_ASR)

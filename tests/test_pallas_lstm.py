@@ -91,6 +91,7 @@ def test_chunked_forward_matches_scan():
                                atol=5e-3)
 
 
+@pytest.mark.slow
 def test_chunked_grads_match_scan():
     rng = np.random.default_rng(3)
     t, b, h = 3, 2, 1024

@@ -59,6 +59,7 @@ def test_eight_cpu_devices_present():
 
 
 @pytest.mark.parametrize("n_model", [1, 2])
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(n_model):
     spec, params, tx = _setup()
     opt_state = tx.init(params)

@@ -56,6 +56,7 @@ def test_loss_and_fusion(tok, emb_file):
     np.testing.assert_allclose(s, 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mse_distance_and_fixed_params_not_trained(tok, emb_file):
     reg = _build(tok, emb_file, fuse=0.5, distance="MSE")
     b, t, h, v = 1, 3, 8, tok.vocab_size
@@ -77,6 +78,7 @@ def test_mse_distance_and_fixed_params_not_trained(tok, emb_file):
     assert float(jnp.abs(g["net1"]["w"]).sum()) > 0.0
 
 
+@pytest.mark.slow
 def test_learnable_fusion(tok, emb_file):
     reg = _build(tok, emb_file, fuse=-1)
     assert reg.fuse_learnable

@@ -1,6 +1,8 @@
 """Solver features: multi-dev-set validation, curriculum relaunch, upstream
 feature source, resume from checkpoint."""
 
+pytestmark = __import__("pytest").mark.slow  # nightly tier: pytest -m slow
+
 import copy
 import os
 import sys

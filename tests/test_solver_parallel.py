@@ -7,6 +7,8 @@ resulting parameters match a single-device run of the same recipe (the
 weighted-loss mesh-padding rows must contribute nothing).
 """
 
+pytestmark = __import__("pytest").mark.slow  # nightly tier: pytest -m slow
+
 import copy
 import os
 import sys
@@ -29,12 +31,16 @@ def _paras(tmp_path, tag, **kw):
                  verbose=False, **kw)
 
 
-def _train_asr(tmp_path, tag, n_devices):
+def _train_asr(tmp_path, tag, n_devices, n_model=1, dim=None):
     from e2e_asr_pytorch_tpu.train.train_asr import Solver
     cfg = copy.deepcopy(TINY_ASR)
     cfg["hparas"]["max_step"] = 3
     cfg["hparas"]["valid_step"] = 2
-    solver = Solver(cfg, _paras(tmp_path, tag, n_devices=n_devices), "train")
+    if dim:  # wide enough for the tensor-parallel shard rule (>=512 out dim)
+        cfg["model"]["encoder"]["dim"] = [dim]
+        cfg["model"]["decoder"]["dim"] = dim
+    solver = Solver(cfg, _paras(tmp_path, tag, n_devices=n_devices,
+                                n_model=n_model), "train")
     solver.load_data()
     solver.set_model()
     solver.exec()
@@ -69,6 +75,33 @@ def test_asr_solver_multi_device_matches_single(tmp_path):
     l1 = jax.tree.leaves(s1.params)
     assert len(l8) == len(l1)
     for a, b in zip(l8, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_asr_solver_tensor_parallel_matches_single(tmp_path):
+    """--n-model 2: exec() on the 4x2 dp x tp mesh — params AND optimizer
+    state shard on 'model', result matches the single-device run
+    (VERDICT r2 #4: tensor parallelism through the real solver)."""
+    import jax
+    from e2e_asr_pytorch_tpu.parallel import mesh as mesh_lib
+    s42 = _train_asr(tmp_path, "tp42", n_devices=None, n_model=2, dim=128)
+    assert s42.n_data == 4 and s42.n_model == 2
+    # at least one big weight (and its optimizer accumulator) actually
+    # sharded over 'model'
+    def sharded_leaves(tree):
+        return [l for l in jax.tree.leaves(tree)
+                if hasattr(l, "sharding") and
+                l.sharding.spec == jax.sharding.PartitionSpec(
+                    None, mesh_lib.MODEL_AXIS)]
+    assert len(sharded_leaves(s42.params)) > 0
+    assert len(sharded_leaves(s42.opt_state)) > 0
+
+    s1 = _train_asr(tmp_path, "tp1", n_devices=1, dim=128)
+    l42 = jax.tree.leaves(s42.params)
+    l1 = jax.tree.leaves(s1.params)
+    assert len(l42) == len(l1)
+    for a, b in zip(l42, l1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
 

@@ -1,6 +1,8 @@
 """Training-infrastructure unit tests: schedules, tf-rate, non-finite guard,
 transfer-learning freezes, time augmentation, aux blocks, timer."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +70,7 @@ def test_adadelta_matches_torch():
                                tw.detach().numpy(), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_transfer_learning_freezes_grads():
     from e2e_asr_pytorch_tpu.models import asr as M
     cfg = dict(
