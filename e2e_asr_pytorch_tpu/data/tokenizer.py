@@ -135,13 +135,23 @@ class SubwordTextEncoder(BaseTextEncoder):
             import sentencepiece as splib
         except ImportError:
             # environment without the sentencepiece C++ lib: fall back to a
-            # greedy matcher over the sibling .vocab file
+            # greedy matcher over the sibling .vocab file. The segmentations
+            # DIFFER from sentencepiece's (different token streams => WER not
+            # comparable across the two encoders), so warn loudly.
+            import warnings
             vocab_path = os.path.splitext(filepath)[0] + ".vocab"
-            if os.path.exists(vocab_path):
-                return GreedySubwordTextEncoder.load_from_file(vocab_path)
-            if os.path.exists(filepath) and filepath.endswith(".vocab"):
-                return GreedySubwordTextEncoder.load_from_file(filepath)
-            raise
+            target = (vocab_path if os.path.exists(vocab_path) else
+                      filepath if filepath.endswith(".vocab") and
+                      os.path.exists(filepath) else None)
+            if target is None:
+                raise
+            warnings.warn(
+                "sentencepiece is not installed — using the greedy "
+                "longest-match subword fallback over %r. Token streams "
+                "differ from sentencepiece segmentation; error rates are "
+                "NOT comparable with sentencepiece-tokenized runs."
+                % target, RuntimeWarning, stacklevel=2)
+            return GreedySubwordTextEncoder.load_from_file(target)
         spm = splib.SentencePieceProcessor()
         spm.load(filepath)
         spm.set_encode_extra_options(":eos")

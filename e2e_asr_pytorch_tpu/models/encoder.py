@@ -35,9 +35,18 @@ class EncoderSpec(NamedTuple):
     layer_out_dims: Tuple[int, ...]  # rnn_out (pre-downsample) per layer
 
 
-def make_spec(input_size: int, vgg: int, vgg_freq: int, vgg_low_filt: int,
-              module: str, bidirection: bool, dim, dropout, layer_norm, proj,
-              sample_rate, sample_style: str) -> EncoderSpec:
+def make_spec(input_size: int, vgg: int = 0, vgg_freq: int = -1,
+              vgg_low_filt: int = -1, module: str = "LSTM",
+              bidirection: bool = True, dim=(), dropout=(), layer_norm=(),
+              proj=(), sample_rate=(), sample_style: str = "drop",
+              prenet: str = "") -> EncoderSpec:
+    # `prenet: 'vgg'` is the upstream parent repo's spelling carried by the
+    # reference's config/libri examples (which its own Encoder cannot parse,
+    # src/asr.py:393); we accept it as an alias for vgg code 1 so those
+    # recipes run verbatim here
+    if prenet and vgg == 0:
+        assert prenet == "vgg", "unsupported prenet: " + prenet
+        vgg = 1
     assert len(sample_rate) == len(dropout) == len(dim), "Number of layer mismatch"
     assert sample_style in ("drop", "concat"), sample_style
     fe = F.make_spec(vgg, input_size, vgg_freq, vgg_low_filt) if vgg > 0 else None

@@ -74,3 +74,13 @@ def param_shardings(params, mesh: Mesh, min_dim: int = 512):
 def place_params(params, mesh: Mesh, min_dim: int = 512):
     return jax.tree.map(lambda x, s: jax.device_put(x, s), params,
                         param_shardings(params, mesh, min_dim))
+
+
+def place_opt_state(opt_state, params, mesh: Mesh, min_dim: int = 512):
+    """Shard optimizer state with the params: optax accumulator leaves
+    mirror param shapes, so the same shape rule lands them on the same
+    'model' shards (scalars/counters replicate). No device holds a full
+    optimizer replica under tensor parallelism."""
+    del params  # the rule is shape-based; kept in the signature for intent
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), opt_state,
+                        param_shardings(opt_state, mesh, min_dim))

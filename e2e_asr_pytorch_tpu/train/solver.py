@@ -43,8 +43,12 @@ class BaseSolver(abc.ABC):
         n_dev = getattr(paras, "n_devices", None)
         if n_dev:
             self.devices = self.devices[:n_dev]
-        self.mesh = mesh_lib.make_mesh(n_data=len(self.devices), n_model=1,
-                                       devices=self.devices)
+        self.n_model = max(1, getattr(paras, "n_model", 1))
+        assert len(self.devices) % self.n_model == 0, \
+            "--n-model must divide the device count"
+        self.mesh = mesh_lib.make_mesh(
+            n_data=len(self.devices) // self.n_model, n_model=self.n_model,
+            devices=self.devices)
         self.n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
         self._batch_sharding = mesh_lib.batch_sharding(self.mesh)
         self._replicated = mesh_lib.replicated(self.mesh)
@@ -100,12 +104,22 @@ class BaseSolver(abc.ABC):
 
     # -------------------------------------------------------------- mesh io
     def place_model(self):
-        """Place params/opt_state on the mesh (replicated across 'data');
-        jitted steps then consume operand shardings and GSPMD inserts the
-        gradient psum across devices — main.py is data-parallel by default."""
-        self.params = jax.device_put(self.params, self._replicated)
-        if getattr(self, "opt_state", None) is not None:
-            self.opt_state = jax.device_put(self.opt_state, self._replicated)
+        """Place params/opt_state on the mesh. Data-parallel (n_model=1):
+        fully replicated, jitted steps consume operand shardings and GSPMD
+        inserts the gradient psum across 'data'. Tensor-parallel
+        (--n-model>1): large weights shard their output dim on 'model' — and
+        the optimizer state shards WITH them (optax state leaves mirror
+        param shapes), so no device holds a full replica of either."""
+        if self.n_model > 1:
+            self.params = mesh_lib.place_params(self.params, self.mesh)
+            if getattr(self, "opt_state", None) is not None:
+                self.opt_state = mesh_lib.place_opt_state(
+                    self.opt_state, self.params, self.mesh)
+        else:
+            self.params = jax.device_put(self.params, self._replicated)
+            if getattr(self, "opt_state", None) is not None:
+                self.opt_state = jax.device_put(self.opt_state,
+                                                self._replicated)
 
     def put_batch(self, data: Dict[str, Any]) -> Dict[str, Any]:
         """Host batch -> device arrays, batch axis sharded across 'data'.

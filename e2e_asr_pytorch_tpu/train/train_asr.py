@@ -317,7 +317,7 @@ class Solver(BaseSolver):
                         self.validate(self.dv_set, self.dv_names)
 
                 self.timer.set()
-                if self.step > self.max_step:
+                if self.step >= self.max_step:
                     break
             self.n_epochs += 1
 

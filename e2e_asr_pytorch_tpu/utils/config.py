@@ -67,6 +67,7 @@ class Paras:
     upstream_ckpt: Optional[str] = None
     upstream_trainable: bool = False
     n_devices: Optional[int] = None  # restrict the mesh (default: all)
+    n_model: int = 1         # tensor-parallel axis size (mesh = data x model)
     verbose: bool = True
     pin_memory: bool = True
     gpu: bool = False
@@ -106,6 +107,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n-devices", default=None, type=int, dest="n_devices",
                    help="Restrict the data-parallel mesh to the first N "
                         "devices (default: all visible devices)")
+    p.add_argument("--n-model", default=1, type=int, dest="n_model",
+                   help="Tensor-parallel axis size: the mesh becomes "
+                        "(n_devices/n_model) x n_model over ('data','model') "
+                        "and large weights shard their output dim on 'model'")
     return p
 
 

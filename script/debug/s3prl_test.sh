@@ -1,0 +1,9 @@
+#!/bin/bash
+# Debug decoding of an upstream-feature model (counterpart of the reference's
+# script/debug/s3prl_test.sh).
+python3 main.py --config config/synthetic_test.yaml \
+    --test --deterministic --njobs 2 --seed 0 --upstream apc "$@"
+
+# Offline scoring:
+# python3 eval.py --file result/<exp>_dev_output.csv
+# python3 eval.py --file result/<exp>_test_output.csv

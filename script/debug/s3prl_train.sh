@@ -1,0 +1,7 @@
+#!/bin/bash
+# Debug training with the APC upstream feature source (counterpart of the
+# reference's script/debug/s3prl_train.sh, which pulls S3PRL's apc via
+# torch.hub; here the upstream is the local pretrained JAX APC — see
+# data/upstream.py and util/train_apc.py).
+python3 main.py --config config/synthetic_debug.yaml \
+    --deterministic --njobs 0 --seed 0 --upstream apc "$@"

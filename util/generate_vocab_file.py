@@ -12,6 +12,70 @@ import os
 from collections import Counter
 
 
+SPM_SPACE = "▁"  # sentencepiece word-boundary meta symbol
+
+
+def train_bpe_vocab(input_file: str, output_prefix: str,
+                    vocab_size: int) -> str:
+    """Minimal byte-pair-encoding trainer (pure Python).
+
+    Emits ``<prefix>.vocab`` in sentencepiece .vocab layout (piece per line,
+    specials <pad>/<eos>/<unk> at ids 0/1/2) for the framework's greedy
+    subword encoder — the no-native-deps path for building a subword recipe.
+    """
+    words = Counter()
+    with open(input_file, "r", encoding="UTF-8") as f:
+        for line in f:
+            for w in line.strip("\r\n ").split(" "):
+                if w:
+                    words[SPM_SPACE + w] += 1
+    # each word as a tuple of current symbols
+    seqs = {w: tuple(w) for w in words}
+    specials = ["<pad>", "<eos>", "<unk>"]
+
+    def n_symbols():
+        syms = Counter()
+        for w, seq in seqs.items():
+            for s in seq:
+                syms[s] += words[w]
+        return syms
+
+    while True:
+        syms = n_symbols()
+        if len(syms) + len(specials) >= vocab_size:
+            break
+        pairs = Counter()
+        for w, seq in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += words[w]
+        if not pairs:
+            break
+        (a, b), cnt = pairs.most_common(1)[0]
+        if cnt < 2:
+            break
+        merged = a + b
+        for w, seq in seqs.items():
+            if a not in seq or b not in seq:
+                continue
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = tuple(out)
+
+    pieces = [p for p, _ in n_symbols().most_common(vocab_size - len(specials))]
+    out_path = output_prefix + ".vocab"
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w", encoding="UTF-8") as f:
+        for p in specials + pieces:
+            f.write(p + "\t0\n")
+    return out_path
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input_file", required=True,
@@ -25,7 +89,15 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.mode == "subword":
-        import sentencepiece as splib
+        try:
+            import sentencepiece as splib
+        except ImportError:
+            out = train_bpe_vocab(args.input_file, args.output_file,
+                                  args.vocab_size)
+            print("sentencepiece unavailable — pure-Python BPE vocab "
+                  "written to", out,
+                  "(load with text mode 'subword'; greedy-matcher fallback)")
+            return
         splib.SentencePieceTrainer.train(
             input=args.input_file, model_prefix=args.output_file,
             vocab_size=args.vocab_size, model_type="bpe",

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Fetch a public Google Drive file by id (counterpart of the reference's
+# util/get_gd.sh, used to pull pretrained checkpoints).
+#   ./util/get_gd.sh <file_id> <output_name>
+set -euo pipefail
+
+file_id=$1
+file_name=$2
+
+# stage 1: collect the confirmation cookie for large files
+curl -sc /tmp/gd_cookies \
+    "https://drive.google.com/uc?export=download&id=${file_id}" \
+    -o /tmp/gd_stage1.html
+
+# stage 2: follow the confirmed download link
+confirm=$(grep -o 'confirm=[^&"]*' /tmp/gd_stage1.html | head -1 | cut -d= -f2 || true)
+curl -Lb /tmp/gd_cookies \
+    "https://drive.google.com/uc?export=download&confirm=${confirm}&id=${file_id}" \
+    -o "${file_name}"
