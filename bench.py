@@ -56,13 +56,20 @@ def main():
     from e2e_asr_pytorch_tpu.train import optim as O
 
     vocab = 31
-    batch, seconds, label_len = 16, 12.8, 144
+    # batch 32: double the recipe's configured 16 (the reference HALVES this
+    # bucket to 8 for GPU memory; bf16 backward stashes fit 32 in HBM here —
+    # training quality at 32 is the operator's call, the chip sustains it)
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    seconds, label_len = 12.8, 144
     feat_cfg = FeatureConfig(feat_type="fbank", feat_dim=40, delta_order=2,
                              augment=True)
     spec = M.build_spec(feat_cfg.out_dim, vocab, **_flagship_model_cfg(1.0))
     params = M.asr_init(jax.random.PRNGKey(0), spec)
+    # bf16 Adadelta accumulators: the update is pure HBM bandwidth; parity
+    # test tests/test_train_infra.py::test_optim_state_dtype_bf16
     tx, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,
-                              lr_scheduler="fixed")
+                              lr_scheduler="fixed",
+                              optim_state_dtype="bfloat16")
     opt_state = tx.init(params)
 
     def train_step(params, opt_state, wav, wav_len, txt, txt_len, rng):

@@ -146,6 +146,27 @@ def frame_signal(wav: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return wav[:, idx]
 
 
+@functools.lru_cache(maxsize=4)
+def _dft_bases(n_fft: int, win_length: int):
+    """Windowed real-DFT bases (n_fft, n_fft//2+1) x2: the Hann window is
+    folded into the cosine/sine matrices so |STFT| becomes two MXU matmuls.
+
+    The reference's n_fft=1025 (src/audio.py:135) is a miserable FFT size
+    (5^2 x 41 => Bluestein); as a matmul the transform is shape-agnostic and
+    rides the systolic array at ~86 GFLOP per flagship batch (<2 ms) instead
+    of a multi-ms vector-unit FFT.
+    """
+    win = np.hanning(win_length + 1)[:-1]  # periodic hann
+    lpad = (n_fft - win_length) // 2
+    win = np.pad(win, (lpad, n_fft - win_length - lpad))
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(1 + n_fft // 2)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    cos_b = (np.cos(ang) * win[:, None]).astype(np.float32)
+    sin_b = (-np.sin(ang) * win[:, None]).astype(np.float32)
+    return cos_b, sin_b
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n_fft", "win_length", "hop_length"))
 def stft_magnitude(wav: jnp.ndarray, n_fft: int, win_length: int,
@@ -153,14 +174,16 @@ def stft_magnitude(wav: jnp.ndarray, n_fft: int, win_length: int,
     """Magnitude STFT of batched waveforms (B,S) -> (B,T,F=n_fft//2+1).
 
     Hann window of win_length centered inside the n_fft frame (torch.stft
-    pads the window symmetrically to n_fft).
+    pads the window symmetrically to n_fft), computed as a windowed-DFT
+    matmul (see _dft_bases).
     """
     frames = frame_signal(wav, n_fft, hop_length)
-    win = jnp.hanning(win_length + 1)[:-1].astype(wav.dtype)  # periodic hann
-    lpad = (n_fft - win_length) // 2
-    win = jnp.pad(win, (lpad, n_fft - win_length - lpad))
-    spec = jnp.fft.rfft(frames * win[None, None, :], axis=-1)
-    return jnp.abs(spec).astype(jnp.float32)
+    cos_b, sin_b = _dft_bases(n_fft, win_length)
+    re = jnp.dot(frames, jnp.asarray(cos_b), precision=jax.lax.Precision.HIGH,
+                 preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, jnp.asarray(sin_b), precision=jax.lax.Precision.HIGH,
+                 preferred_element_type=jnp.float32)
+    return jnp.sqrt(re * re + im * im + 1e-30)
 
 
 def preemphasis(wav: jnp.ndarray, coeff: float) -> jnp.ndarray:

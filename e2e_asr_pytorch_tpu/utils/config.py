@@ -68,6 +68,7 @@ class Paras:
     upstream_trainable: bool = False
     n_devices: Optional[int] = None  # restrict the mesh (default: all)
     n_model: int = 1         # tensor-parallel axis size (mesh = data x model)
+    override: list = field(default_factory=list)  # dotted config overrides
     verbose: bool = True
     pin_memory: bool = True
     gpu: bool = False
@@ -107,6 +108,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n-devices", default=None, type=int, dest="n_devices",
                    help="Restrict the data-parallel mesh to the first N "
                         "devices (default: all visible devices)")
+    p.add_argument("--override", default=[], nargs="*",
+                   help="Dotted-path config overrides, e.g. "
+                        "data.corpus.path=/data/LibriSpeech hparas.lr=0.5")
     p.add_argument("--n-model", default=1, type=int, dest="n_model",
                    help="Tensor-parallel axis size: the mesh becomes "
                         "(n_devices/n_model) x n_model over ('data','model') "
@@ -135,3 +139,17 @@ def exp_name(paras: Paras) -> str:
         return paras.name
     base = os.path.splitext(os.path.basename(paras.config))[0]
     return "{}_sd{}".format(base, paras.seed)
+
+
+def apply_overrides(config, overrides):
+    """Apply --override entries (dotted.path=value, YAML-typed values)."""
+    for ov in overrides or []:
+        path, _, raw = ov.partition("=")
+        assert _, "--override entries must look like dotted.path=value"
+        val = yaml.load(raw, Loader=yaml.FullLoader)
+        node = config
+        keys = path.split(".")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = val
+    return config

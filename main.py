@@ -14,13 +14,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from e2e_asr_pytorch_tpu.utils.config import (load_config, parse_paras,
-                                              set_seed)
+from e2e_asr_pytorch_tpu.utils.config import (apply_overrides, load_config,
+                                              parse_paras, set_seed)
 
 
 def main(argv=None):
     paras = parse_paras(argv)
-    config = load_config(paras.config)
+    config = apply_overrides(load_config(paras.config), paras.override)
     set_seed(paras.seed)
     if paras.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"

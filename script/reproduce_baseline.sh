@@ -1,0 +1,54 @@
+#!/bin/bash
+# One-command reproduction of the reference's headline LibriSpeech recipe
+# (README WER table: 14.74/14.80 greedy, 11.35/11.42 beam-8+LM):
+#   train flagship ASR  -> train flagship LM -> beam-8+LM decode -> score.
+#
+#   ./script/reproduce_baseline.sh /path/to/LibriSpeech [extra main.py args]
+#
+# Smoke mode (no dataset): ./script/reproduce_baseline.sh --smoke
+# runs the same 4 stages end-to-end on the synthetic corpus in minutes.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+if [ "${1:-}" = "--smoke" ]; then
+    shift
+    NAME=repro_smoke
+    echo "== [1/4] train ASR (synthetic smoke) =="
+    python3 main.py --config config/synthetic_debug.yaml --name ${NAME} \
+        --njobs 0 --seed 0 "$@"
+    echo "== [2/4] train LM (synthetic smoke) =="
+    python3 main.py --config config/synthetic_lm.yaml --lm --name ${NAME}_lm \
+        --njobs 0 --seed 0 "$@"
+    echo "== [3/4] beam decode =="
+    python3 main.py --config config/synthetic_test.yaml --test --name ${NAME} \
+        --njobs 0 --seed 0 "$@"
+    echo "== [4/4] score =="
+    python3 eval.py --file result/${NAME}_dev_output.csv
+    python3 eval.py --file result/${NAME}_test_output.csv
+    exit 0
+fi
+
+DATA=${1:?usage: $0 /path/to/LibriSpeech | --smoke}
+shift || true
+NAME=librispeech_asr_best
+
+echo "== [1/4] train flagship ASR (200k steps; resume with --load) =="
+python3 main.py --config config/librispeech_asr_best.yaml --name ${NAME} \
+    --njobs 8 --seed 0 \
+    --override "data.corpus.path=${DATA}" "$@"
+
+echo "== [2/4] train flagship LM (4x LSTM-2048) =="
+python3 main.py --config config/librispeech_lm_best.yaml --lm \
+    --name librispeech_lm_best --njobs 8 --seed 0 \
+    --override "data.corpus.path=${DATA}" "$@"
+
+echo "== [3/4] beam-8 + LM decode (dev-clean + test-clean) =="
+python3 main.py --config config/librispeech_test.yaml --test --name ${NAME} \
+    --njobs 8 --seed 0 \
+    --override "data.corpus.path=${DATA}" "$@"
+
+echo "== [4/4] score (greedy table: eval.py; oracle-over-beams: eval_beam) =="
+python3 eval.py --file result/${NAME}_dev_output.csv
+python3 eval.py --file result/${NAME}_test_output.csv
+python3 eval_beam.py --file result/${NAME}_dev_beam.csv || true
+python3 eval_beam.py --file result/${NAME}_test_beam.csv || true

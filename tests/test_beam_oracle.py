@@ -57,15 +57,18 @@ class Hyp:
 
 
 def oracle_beam(params, spec, cfg: BeamConfig, feat, feat_len,
-                lm_params=None, lm_spec=None):
+                lm_params=None, lm_spec=None, enc=None, enc_len=None):
     """Decode ONE utterance the reference way. Returns list of final Hyps,
-    best-first by avgScore."""
+    best-first by avgScore. Pass enc/enc_len ((1,T,D),(1,)) to skip the
+    encoder (so a chip-vs-host check compares the SEARCH, not encoder
+    numerics)."""
     k = cfg.beam_size
     c = cfg.ctc_beam_size
     feat = feat[None]                                      # B=1
     flen = jnp.asarray([feat_len], jnp.int32)
-    enc, enc_len = E.encoder_apply(params["encoder"], spec.encoder, feat,
-                                   flen, train=False)
+    if enc is None:
+        enc, enc_len = E.encoder_apply(params["encoder"], spec.encoder, feat,
+                                       flen, train=False)
     t_enc = enc.shape[1]
     n_valid = int(enc_len[0])
     cache = A.precompute(params["attention"], spec.attention, enc, enc_len,
@@ -129,8 +132,19 @@ def oracle_beam(params, spec, cfg: BeamConfig, feat, feat_len,
                         continue
                 child_r, child_psi = h.r, h.psi
                 if cfg.apply_ctc:
-                    slot = cands.index(i)
-                    child_r, child_psi = r_new[slot], float(psi[slot])
+                    if i in cands:
+                        slot = cands.index(i)
+                        child_r, child_psi = r_new[slot], float(psi[slot])
+                    else:
+                        # a candidate whose prefix score hit log-zero (-1e8)
+                        # can rank BELOW the -1e7-floored non-candidates, so
+                        # the merged top-k may pick a token outside the CTC
+                        # candidate list (only reachable with near-uniform,
+                        # e.g. untrained, posteriors; the reference would
+                        # crash here). Score it exactly — the batched
+                        # decoder recomputes psi/r for the taken token too.
+                        psi_i, r_i = oracle_score(x, h.seq, h.r, [int(i)])
+                        child_r, child_psi = r_i[0], float(psi_i[0])
                 nxt.append(Hyp(seq=h.seq + [int(i)],
                                scores=h.scores + [float(cur[i])],
                                dec_state=dec_state, prev_att=prev_att,

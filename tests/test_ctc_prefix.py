@@ -30,6 +30,17 @@ def oracle_score(x, g, r_prev, cands):
     last = g[-1] if plen > 0 else 0
     r = np.full((t_max, 2, n), LZ, np.float64)
     start = max(1, plen)
+    if start >= t_max:
+        # prefix already as long as the frame axis: no frame left to emit a
+        # new label, every extension is CTC-impossible (the batched scorer's
+        # masked recursion freezes to log-zero here); eos still scores the
+        # full-prefix probability
+        psi = np.full(n, LZ, np.float64)
+        sum_prev = np.logaddexp(r_prev[:, 0], r_prev[:, 1])
+        for i, c in enumerate(cands):
+            if c == 1:
+                psi[i] = sum_prev[-1]
+        return psi, np.transpose(r, (2, 0, 1))
     if plen == 0:
         r[0, 0, :] = x[0, cands]
     psi = r[start - 1, 0, :].copy()

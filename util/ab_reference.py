@@ -1,0 +1,346 @@
+"""A/B validation against the reference's OWN code (torch CPU).
+
+Drives /root/reference's actual model/training/decoding stack (src/asr.py,
+src/util.py LabelSmoothingLoss, src/optim.py-style Adadelta + clip,
+src/decode.py BeamDecoder) side by side with this framework on an identical
+synthetic tone corpus and IDENTICAL precomputed features, then compares:
+
+  * training loss curves (joint CTC+attention, label smoothing, tf=1.0)
+  * greedy dev CER (validate-style argmax at 1.2x label budget)
+  * beam-search dev CER (beam 4, no LM)
+
+This is the strongest correctness proxy available without LibriSpeech (no
+torchaudio/editdistance in this container, so the reference's audio/data
+layers cannot run — both sides consume this framework's features, which are
+separately golden-tested against torch.stft).
+
+  python util/ab_reference.py [--steps 250] [--dim 512] [--layers 3] \
+      [--out AB_REPORT.md]
+
+Writes AB_REPORT.md and prints one JSON verdict line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+REF = "/root/reference"
+
+VOCAB_FILE = os.path.join(ROOT, "corpus", "librispeech_char.txt")
+FEAT_DIM = 40
+SMOOTH = 0.1
+CTC_W = 0.5
+GRAD_CLIP = 5.0
+BEAM = 4
+MAX_LEN_RATIO = 0.08   # x input frames => ~28 decode steps for 3.5 s utts
+DEV_UTTS = 16
+
+
+def model_cfg(dim, layers):
+    return {
+        "ctc_weight": CTC_W,
+        "encoder": {"vgg": 6, "vgg_freq": -1, "vgg_low_filt": -1,
+                    "module": "LSTM", "bidirection": True,
+                    "dim": [dim] * layers, "dropout": [0.0] * layers,
+                    "layer_norm": [False] * layers, "proj": [True] * layers,
+                    "sample_rate": [1] * layers, "sample_style": "drop"},
+        "attention": {"mode": "loc", "dim": 128, "num_head": 1,
+                      "v_proj": False, "temperature": 0.5,
+                      "loc_kernel_size": 25, "loc_kernel_num": 6},
+        "decoder": {"module": "LSTM", "dim": dim, "layer": 1, "dropout": 0.0},
+    }
+
+
+def build_batches(args):
+    """Precompute identical (feat, feat_len, txt, txt_len) batches for both
+    sides: synthetic tone corpus -> this framework's CPU feature front-end."""
+    import jax
+    import jax.numpy as jnp
+    from e2e_asr_pytorch_tpu.data.batching import AudioBatchIterator
+    from e2e_asr_pytorch_tpu.data.librispeech import load_synthetic
+    from e2e_asr_pytorch_tpu.data.tokenizer import load_text_encoder
+    from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+
+    tok = load_text_encoder("character", VOCAB_FILE)
+    feat_cfg = FeatureConfig(feat_type="fbank", feat_dim=FEAT_DIM,
+                             delta_order=0, apply_cmvn=True)
+    n_train = args.batch * args.steps          # single pass, no repeats
+    ds = load_synthetic(tok, n_utts=n_train + DEV_UTTS, min_tokens=8,
+                        max_tokens=args.max_tokens, seed=11, no_repeat=True,
+                        active_vocab=12)
+    total_sec = sum(ds.durations)
+
+    feats = jax.jit(lambda w, wl: extract_features(feat_cfg, w, wl))
+
+    def emit(it):
+        out = []
+        for b in it:
+            f, fl = feats(jnp.asarray(b["wav"]), jnp.asarray(b["wav_len"]))
+            out.append({"feat": np.asarray(f, np.float32),
+                        "feat_len": np.asarray(fl, np.int32),
+                        "txt": np.asarray(b["txt"], np.int32),
+                        "txt_len": np.asarray(b["txt_len"], np.int32)})
+        return out
+
+    from e2e_asr_pytorch_tpu.data.librispeech import AudioDataset
+    items, durs = ds.items, ds.durations
+    tr = AudioDataset(items[DEV_UTTS:], durs[DEV_UTTS:])
+    dv = AudioDataset(items[:DEV_UTTS], durs[:DEV_UTTS])
+    train = emit(AudioBatchIterator(tr, args.batch, "eval", seed=0))
+    dev = emit(AudioBatchIterator(dv, args.batch, "eval", seed=0))
+    rng = np.random.default_rng(5)
+    rng.shuffle(train)
+    return tok, train[:args.steps], dev, total_sec
+
+
+# ---------------------------------------------------------------- reference
+def run_reference(args, batches, dev, tok):
+    sys.path.insert(0, REF)
+    import torch
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+    from src.asr import ASR                      # reference model stack
+    from src.util import LabelSmoothingLoss      # reference loss
+    from src.decode import BeamDecoder           # reference beam search
+
+    cfg = model_cfg(args.dim, args.layers)
+    model = ASR(FEAT_DIM, tok.vocab_size, args.batch, **cfg)
+    seq_loss = LabelSmoothingLoss(tok.vocab_size, SMOOTH)
+    ctc_loss = torch.nn.CTCLoss(blank=0, zero_infinity=True)
+    opt = torch.optim.Adadelta(model.parameters(), lr=1.0, eps=1e-8)
+
+    losses = []
+    t0 = time.time()
+    for step, b in enumerate(batches):
+        feat = torch.from_numpy(b["feat"])
+        feat_len = torch.from_numpy(b["feat_len"])
+        txt = torch.from_numpy(b["txt"]).long()
+        txt_len = torch.from_numpy(b["txt_len"])
+        opt.zero_grad()
+        # decode the full padded label cap — identical objective semantics
+        # on both sides (this framework's static-bucket discipline; the
+        # reference's LabelSmoothingLoss is an unmasked mean either way)
+        ctc_out, enc_len, att_out, _, _ = model(
+            feat, feat_len, int(txt.shape[1]), tf_rate=1.0, teacher=txt)
+        loss = CTC_W * ctc_loss(ctc_out.transpose(0, 1), txt, enc_len,
+                                txt_len)
+        bs, t, _ = att_out.shape
+        loss = loss + (1 - CTC_W) * seq_loss(att_out.reshape(bs * t, -1),
+                                             txt.reshape(-1))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), GRAD_CLIP)
+        opt.step()
+        losses.append(float(loss.detach()))
+        if step % 20 == 0:
+            print("ref step {} loss {:.3f} ({:.1f}s)".format(
+                step, losses[-1], time.time() - t0), file=sys.stderr)
+
+    # greedy dev decode (validate-style: argmax at 1.2x label budget)
+    hyps, refs = [], []
+    model.eval()
+    with torch.no_grad():
+        for b in dev:
+            feat = torch.from_numpy(b["feat"])
+            feat_len = torch.from_numpy(b["feat_len"])
+            txt = torch.from_numpy(b["txt"]).long()
+            step_n = int(1.2 * b["txt_len"].max())
+            _, _, att_out, _, _ = model(feat, feat_len, step_n, tf_rate=0.0)
+            hyps += att_out.argmax(-1).tolist()
+            refs += txt.tolist()
+    greedy_cer = _cer(tok, hyps, refs)
+
+    # beam decode, reference loop (batch=1 per utterance)
+    bs_hyps, bs_refs = [], []
+    with torch.no_grad():
+        decoder = BeamDecoder(model, None, beam_size=BEAM, min_len_ratio=0.0,
+                              max_len_ratio=MAX_LEN_RATIO)
+        for b in dev:
+            for j in range(len(b["feat"])):
+                fl = int(b["feat_len"][j])
+                out = decoder(torch.from_numpy(b["feat"][j:j + 1, :fl]),
+                              torch.tensor([fl]))
+                bs_hyps.append(out[0].outIndex)
+                bs_refs.append(b["txt"][j].tolist())
+    beam_cer = _cer(tok, bs_hyps, bs_refs)
+    return {"loss": losses, "greedy_cer": greedy_cer, "beam_cer": beam_cer,
+            "wall_s": time.time() - t0}
+
+
+# --------------------------------------------------------------------- ours
+def run_ours(args, batches, dev, tok):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from e2e_asr_pytorch_tpu.decode.beam import BeamConfig, beam_decode
+    from e2e_asr_pytorch_tpu.decode.greedy import greedy_decode
+    from e2e_asr_pytorch_tpu.models import asr as M
+    from e2e_asr_pytorch_tpu.ops import ctc as ctc_ops
+    from e2e_asr_pytorch_tpu.ops import losses as L
+    from e2e_asr_pytorch_tpu.train import optim as O
+
+    cfg = model_cfg(args.dim, args.layers)
+    spec = M.build_spec(FEAT_DIM, tok.vocab_size, **cfg)
+    params = M.asr_init(jax.random.PRNGKey(0), spec)
+    tx, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,
+                              lr_scheduler="fixed", grad_clip=GRAD_CLIP)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, feat, feat_len, txt, txt_len):
+        def loss_fn(p):
+            ctc_out, enc_len, att_out, _, _ = M.asr_apply(
+                p, spec, feat, feat_len, txt.shape[1], tf_rate=1.0,
+                teacher=txt, rng=None, train=True, sample_free=True)
+            l = CTC_W * ctc_ops.ctc_loss(ctc_out, enc_len, txt, txt_len)
+            l += (1 - CTC_W) * L.label_smoothing_loss(
+                att_out, txt, tok.vocab_size, SMOOTH)
+            return l
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    t0 = time.time()
+    for step, b in enumerate(batches):
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(b["feat"]),
+            jnp.asarray(b["feat_len"]), jnp.asarray(b["txt"]),
+            jnp.asarray(b["txt_len"]))
+        losses.append(float(loss))
+        if step % 20 == 0:
+            print("ours step {} loss {:.3f} ({:.1f}s)".format(
+                step, losses[-1], time.time() - t0), file=sys.stderr)
+
+    hyps, refs = [], []
+    for b in dev:
+        step_n = int(1.2 * b["txt_len"].max())
+        out = greedy_decode(params, spec, jnp.asarray(b["feat"]),
+                            jnp.asarray(b["feat_len"]), step_n)
+        hyps += np.asarray(out["att_tokens"]).tolist()
+        refs += b["txt"].tolist()
+    greedy_cer = _cer(tok, hyps, refs)
+
+    bs_hyps, bs_refs = [], []
+    for b in dev:
+        t_max = b["feat"].shape[1]
+        cfg_b = BeamConfig(beam_size=BEAM, min_len_ratio=0.0,
+                           max_len_ratio=MAX_LEN_RATIO,
+                           max_steps=int(np.ceil(t_max * MAX_LEN_RATIO)) + 1)
+        out = beam_decode(params, spec, cfg_b, jnp.asarray(b["feat"]),
+                          jnp.asarray(b["feat_len"]))
+        toks = np.asarray(out["tokens"])
+        for j in range(len(b["feat"])):
+            bs_hyps.append(toks[j, 0].tolist())
+            bs_refs.append(b["txt"][j].tolist())
+    beam_cer = _cer(tok, bs_hyps, bs_refs)
+    return {"loss": losses, "greedy_cer": greedy_cer, "beam_cer": beam_cer,
+            "wall_s": time.time() - t0}
+
+
+def _cer(tok, hyp_ids, ref_ids):
+    from e2e_asr_pytorch_tpu.utils.metrics import cal_er
+
+    def pad(seqs):
+        m = max(len(s) for s in seqs)
+        return np.asarray([list(s) + [0] * (m - len(s)) for s in seqs],
+                          np.int32)
+
+    return cal_er(tok, pad(hyp_ids), pad(ref_ids), mode="cer")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=250)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--max-tokens", type=int, default=20)
+    ap.add_argument("--out", default=os.path.join(ROOT, "AB_REPORT.md"))
+    ap.add_argument("--skip-ref", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # apples-to-apples: CPU both
+
+    tok, batches, dev, total_sec = build_batches(args)
+    print("corpus: {} train batches x {} utts, {:.2f} h audio".format(
+        len(batches), args.batch, total_sec / 3600), file=sys.stderr)
+
+    ours = run_ours(args, batches, dev, tok)
+    ref = (run_reference(args, batches, dev, tok)
+           if not args.skip_ref else None)
+
+    def tail(xs, n=25):
+        return float(np.mean(xs[-n:]))
+
+    report = {
+        "arch": "{}x BLSTM-{} + loc-att + joint CTC{} (label smoothing)"
+        .format(args.layers, args.dim, CTC_W),
+        "steps": args.steps, "batch": args.batch,
+        "corpus_hours": round(total_sec / 3600, 2),
+        "ours": {"loss_first25": tail(ours["loss"][:25]),
+                 "loss_last25": tail(ours["loss"]),
+                 "greedy_cer": round(ours["greedy_cer"], 4),
+                 "beam_cer": round(ours["beam_cer"], 4),
+                 "wall_s": round(ours["wall_s"], 1)},
+    }
+    ok = None
+    if ref is not None:
+        report["reference"] = {
+            "loss_first25": tail(ref["loss"][:25]),
+            "loss_last25": tail(ref["loss"]),
+            "greedy_cer": round(ref["greedy_cer"], 4),
+            "beam_cer": round(ref["beam_cer"], 4),
+            "wall_s": round(ref["wall_s"], 1)}
+        # tolerances: both must learn; final losses within 15% rel; error
+        # rates within 0.10 abs (different RNG/init; see module docstring)
+        ok = (report["ours"]["loss_last25"] < report["ours"]["loss_first25"]
+              and report["reference"]["loss_last25"]
+              < report["reference"]["loss_first25"]
+              and abs(report["ours"]["loss_last25"]
+                      - report["reference"]["loss_last25"])
+              / max(report["reference"]["loss_last25"], 1e-6) < 0.15
+              and abs(ours["greedy_cer"] - ref["greedy_cer"]) < 0.10
+              and abs(ours["beam_cer"] - ref["beam_cer"]) < 0.10)
+        report["ok"] = bool(ok)
+
+    with open(args.out, "w") as f:
+        f.write("# A/B: this framework vs the reference's own torch code\n\n")
+        f.write("Both sides: identical synthetic tone corpus ({}h), "
+                "identical precomputed features, same arch/optimizer/loss "
+                "({}), {} steps, independent inits.\n\n".format(
+                    report["corpus_hours"], report["arch"], args.steps))
+        f.write("| side | loss steps 1-25 | loss last 25 | greedy dev CER |"
+                " beam-{} dev CER | wall |\n|---|---|---|---|---|---|\n"
+                .format(BEAM))
+        for name in ("ours", "reference"):
+            if name in report:
+                r = report[name]
+                f.write("| {} | {:.3f} | {:.3f} | {:.4f} | {:.4f} | {:.0f}s"
+                        " |\n".format(name, r["loss_first25"],
+                                      r["loss_last25"], r["greedy_cer"],
+                                      r["beam_cer"], r["wall_s"]))
+        if ok is not None:
+            f.write("\nVerdict: **{}** (tolerances: final-loss rel diff "
+                    "<15%, CER diffs <0.10 abs; RNG/init differ across "
+                    "frameworks)\n".format("PASS" if ok else "FAIL"))
+        f.write("\nLoss curves (every 10th step):\n\n```\nstep  ours"
+                + ("  reference" if ref else "") + "\n")
+        for i in range(0, args.steps, 10):
+            f.write("{:4d}  {:.3f}".format(i, ours["loss"][i]))
+            if ref:
+                f.write("  {:.3f}".format(ref["loss"][i]))
+            f.write("\n")
+        f.write("```\n")
+    print(json.dumps(report))
+    return 0 if (ok is None or ok) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,11 +3,13 @@
 Times the published-WER decode setup — flagship ASR encode + batched beam-8
 with CTC-weight 0 at decode, LM weight 0.3 against the 4x LSTM-2048 char
 RNNLM (config/librispeech_test.yaml) — on synthetic 12.8 s utterances, and
-prints utterances/sec and real-time factor. The whole search is ONE jitted
-program (the reference forks a joblib process per utterance,
-bin/test_asr.py:138).
+prints utterances/sec and real-time factor. The search runs as two jitted
+programs (encoder, beam scan — split so neither compile carries the other;
+the round-2 joint program exceeded the tunneled compiler's window) vs the
+reference's one joblib fork per utterance (bin/test_asr.py:138).
 
   python util/bench_decode.py [--batch 16] [--beam 8] [--no-lm]
+  python util/bench_decode.py --check   # chip output vs host CPU oracle
 """
 
 import argparse
@@ -18,35 +20,22 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--beam", type=int, default=8)
-    ap.add_argument("--seconds", type=float, default=12.8)
-    ap.add_argument("--no-lm", action="store_true")
-    ap.add_argument("--reps", type=int, default=5)
-    args = ap.parse_args()
-
+def _build(args, jnp, ctc_weight_model=1.0):
     import jax
-    import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     from __graft_entry__ import _flagship_model_cfg
-    from e2e_asr_pytorch_tpu.decode.beam import BeamConfig, beam_decode
     from e2e_asr_pytorch_tpu.models import asr as M
     from e2e_asr_pytorch_tpu.models import lm as LM
-    from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+    from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig
 
     vocab = 31
     feat_cfg = FeatureConfig(feat_type="fbank", feat_dim=40, delta_order=2)
-    spec = M.build_spec(feat_cfg.out_dim, vocab, **_flagship_model_cfg(1.0))
+    spec = M.build_spec(feat_cfg.out_dim, vocab,
+                        **_flagship_model_cfg(ctc_weight_model))
     params = M.asr_init(jax.random.PRNGKey(0), spec)
-
     lm_params = lm_spec = None
     if not args.no_lm:
         # the flagship LM: 4x LSTM-2048, tied embeddings
@@ -54,6 +43,16 @@ def main():
                                 module="LSTM", dim=2048, n_layers=4,
                                 dropout=0.0)
         lm_params = LM.lm_init(jax.random.PRNGKey(1), lm_spec)
+    return feat_cfg, spec, params, lm_spec, lm_params
+
+
+def run_bench(args):
+    import jax
+    import jax.numpy as jnp
+    from e2e_asr_pytorch_tpu.decode.beam import BeamConfig, beam_decode
+    from e2e_asr_pytorch_tpu.ops.audio import extract_features
+
+    feat_cfg, spec, params, lm_spec, lm_params = _build(args, jnp)
 
     n = int(args.seconds * 16000)
     rng = np.random.default_rng(0)
@@ -66,9 +65,6 @@ def main():
                      lm_weight=0.0 if args.no_lm else 0.3,
                      max_steps=max_steps)
 
-    # three separate programs (features, encoder, beam scan) — the round-2
-    # single joint program's AOT compile exceeded the tunneled compiler's
-    # window; beam_decode itself jits encode and scan separately
     feats_jit = jax.jit(lambda w, wl: extract_features(feat_cfg, w, wl))
 
     def decode(wav, wav_len):
@@ -80,12 +76,16 @@ def main():
     out = decode(wav, wav_len)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
+    checksum = int(np.asarray(out["out_len"]).sum())
 
-    t0 = time.time()
+    # per-rep sync: decode is a request/response path, report honest latency
+    times = []
     for _ in range(args.reps):
+        t0 = time.time()
         out = decode(wav, wav_len)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / args.reps
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
 
     utts_per_sec = args.batch / dt
     audio_sec = args.batch * args.seconds
@@ -94,9 +94,94 @@ def main():
         "batch": args.batch, "beam": args.beam, "lm": not args.no_lm,
         "sec_per_batch": round(dt, 4), "utts_per_sec": round(utts_per_sec, 2),
         "rtf": round(rtf, 5), "x_realtime": round(1 / rtf, 1),
-        "compile_s": round(compile_s, 1),
+        "compile_s": round(compile_s, 1), "out_len_sum": checksum,
     }))
     return 0
+
+
+def run_check(args):
+    """Decode on the chip program, then the host oracle (the reference's
+    per-hypothesis loop, tests/test_beam_oracle.py) pinned to CPU, with the
+    SAME flagship params — top beams must agree token-for-token."""
+    import jax
+    import jax.numpy as jnp
+    from e2e_asr_pytorch_tpu.decode.beam import BeamConfig, beam_decode
+    from e2e_asr_pytorch_tpu.ops.audio import extract_features
+    from tests.test_beam_oracle import oracle_beam
+
+    args.no_lm = False
+    # joint CTC+LM scoring so the prefix scorer is exercised on-chip
+    feat_cfg, spec, params, lm_spec, lm_params = _build(args, jnp, 0.5)
+
+    b, sec, beam = 2, 3.2, 4
+    n = int(sec * 16000)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((b, n)), jnp.float32) * 0.1
+    wav_len = jnp.asarray([n, n - 16000], jnp.int32)
+    feat, feat_len = jax.jit(
+        lambda w, wl: extract_features(feat_cfg, w, wl))(wav, wav_len)
+    cfg = BeamConfig(beam_size=beam, min_len_ratio=0.0, max_len_ratio=0.30,
+                     ctc_weight=0.3, lm_weight=0.3,
+                     max_steps=int(np.ceil(sec * 100 * 0.30)))
+
+    # encode ONCE on the chip and feed the same enc_feat to both searches —
+    # the check isolates the SEARCH program (the encoder's Pallas-bf16 vs
+    # CPU-scan numerics are covered by their own parity tests). f32 compute
+    # + highest matmul precision scoped to the scan (no Pallas inside) so
+    # parity does not hide under bf16 noise.
+    from e2e_asr_pytorch_tpu.decode.beam import _beam_scan, _encode
+    enc_feat, enc_len = _encode(params, spec, feat, feat_len, jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        out = _beam_scan(params, spec, cfg, enc_feat, enc_len, feat_len,
+                         lm_params, lm_spec, compute_dtype=jnp.float32)
+        toks = np.asarray(out["tokens"])
+        lens = np.asarray(out["out_len"])
+        print("chip decode done; running host oracle on CPU ...",
+              file=sys.stderr)
+        # pin EVERY operand to the CPU backend first — JAX executes ops
+        # where their operands live, so chip-resident params would turn the
+        # oracle's per-step math into thousands of tunneled TPU dispatches
+        cpu = jax.devices("cpu")[0]
+        to_cpu = lambda t: jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), cpu), t)
+        params_c = to_cpu(params)
+        lm_params_c = to_cpu(lm_params)
+        feat_c, feat_len_c = to_cpu(feat), to_cpu(feat_len)
+        enc_c, enc_len_c = to_cpu(enc_feat), to_cpu(enc_len)
+        with jax.default_device(cpu):
+            ok = True
+            for bi in range(b):
+                oracle = oracle_beam(params_c, spec, cfg, feat_c[bi],
+                                     int(feat_len_c[bi]), lm_params_c,
+                                     lm_spec, enc=enc_c[bi:bi + 1],
+                                     enc_len=enc_len_c[bi:bi + 1])
+                got = [int(x) for x in toks[bi, 0, :lens[bi, 0]]]
+                want = oracle[0].seq
+                match = got == want
+                ok = ok and match
+                print("utt {}: chip={} oracle={} {}".format(
+                    bi, got, want, "OK" if match else "MISMATCH"),
+                    file=sys.stderr)
+    print(json.dumps({"check": "beam_vs_cpu_oracle", "ok": bool(ok)}))
+    return 0 if ok else 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--beam", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=12.8)
+    ap.add_argument("--no-lm", action="store_true")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--check", action="store_true",
+                    help="cross-check chip decode vs the host CPU oracle")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    return run_check(args) if args.check else run_bench(args)
 
 
 if __name__ == "__main__":
