@@ -120,20 +120,27 @@ def _report(trace_dir, top):
     dev_pids = {p for p, n in names.items()
                 if "TPU" in n or "/device" in n.lower()}
     per_op = {}
+    cnt = {}
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         nm = e.get("name", "")
+        # skip enclosing spans: per-step markers (bare numbers) and the
+        # whole-program span — they contain every real op
+        if nm.isdigit() or nm.startswith("jit_"):
+            continue
         per_op[nm] = per_op.get(nm, 0.0) + float(e.get("dur", 0.0))
+        cnt[nm] = cnt.get(nm, 0) + 1
     if not per_op:
         print("no device events; tracks:", sorted(names.values())[:20])
         return
     entries = sorted(((v, k) for k, v in per_op.items()), reverse=True)
     total = sum(v for v, _ in entries)
     print("total device op time: %.0f us (all traced steps)" % total)
-    print("%10s %6s  %s" % ("us", "%", "op"))
+    print("%10s %6s %6s %9s  %s" % ("us", "%", "calls", "us/call", "op"))
     for v, k in entries[:top]:
-        print("%10.0f %5.1f%%  %s" % (v, 100 * v / total, k[:100]))
+        print("%10.0f %5.1f%% %6d %9.1f  %s" % (
+            v, 100 * v / total, cnt[k], v / cnt[k], k[:100]))
 
 
 if __name__ == "__main__":
