@@ -197,11 +197,15 @@ def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
     xg_emb = jnp.einsum("tbe,eg->tbg", emb_seq.astype(compute_dtype),
                         w_emb.astype(compute_dtype),
                         preferred_element_type=jnp.float32) + l1["b"]
-    # fold the context projection into the (cached) values: (B,T,4H)
+    # fold the context projection into the (cached) values: (B,T,4H).
+    # Materialized in compute dtype: every decode step re-reads this whole
+    # table from HBM (it cannot fit VMEM), so bf16 halves the scan's
+    # dominant memory traffic; the in-scan einsums already contracted it in
+    # compute dtype, so the forward math is unchanged.
     vp = jnp.einsum("btd,dg->btg",
                     cache["value"][:, :, 0, :].astype(compute_dtype),
                     w_ctx.astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32).astype(compute_dtype)
 
     # hand-written-VJP fast path (the flagship envelope): 2-layer LSTM,
     # loc/dot attention, no decoder dropout — weight-grad accumulations and
@@ -216,8 +220,8 @@ def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
                          compute_dtype)
         feats_t, attn_s = FV.folded_decoder(
             cfg, xg_emb,
-            vp, cache["key"][:, :, 0, :],
-            cache["loc_band"][0] if is_loc else None,
+            vp, cache["key"][:, :, 0, :].astype(compute_dtype),
+            (cache["loc_band"][0].astype(compute_dtype) if is_loc else None),
             jnp.where(cache["mask"], 0.0, FV.NEG_INF),
             prev_att0[:, 0, :], dec_state0[0], dec_state0[1],
             ap["proj_q"]["w"], ap["proj_q"]["b"],

@@ -275,7 +275,7 @@ def _vjp_bwd(cfg, res, cts):
     d_xg_emb = dgates1_s
     d_vp = jnp.einsum("lbt,lbg->btg", attn_s.astype(cd),
                       dgates1_s.astype(cd),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32).astype(vp.dtype)
     query_s = jnp.concatenate([h1_prev_s, h2_prev_s], axis=-1)
     d_wq = wgrad(query_s, dqpre_s)
     d_bq = jnp.sum(dqpre_s, axis=(0, 1))
@@ -284,16 +284,18 @@ def _vjp_bwd(cfg, res, cts):
     d_b2 = jnp.sum(dgates2_s, axis=(0, 1))
     d_wh2 = wgrad(h2_prev_s, dgates2_s)
     if is_loc:
-        d_key = dkey_acc
+        d_key = dkey_acc.astype(key.dtype)
         d_band = jnp.einsum("lbt,lbz->tz", prev_att_s.astype(cd),
                             step_stack_s.astype(cd),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32
+                            ).astype(band.dtype)
         d_wlp, d_we, d_be = dwlp_acc, dwe_acc, dbe_acc
         d_prev0 = dprev_final
     else:
         d_key = jnp.einsum("lbd,lbt->btd", q_s.astype(cd),
                            step_stack_s.astype(cd),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32
+                           ).astype(key.dtype)
         d_band = None
         d_wlp = None
         d_we = None
