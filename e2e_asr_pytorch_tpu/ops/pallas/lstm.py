@@ -37,15 +37,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# keep w_h + pipeline buffers under the ~16 MB/core VMEM budget
-_VMEM_WH_LIMIT = 14 * 1024 * 1024
+# Resident-weight budget. XLA's default scoped-vmem limit is 16 MB but the
+# physical VMEM on this part (v5e) is ~128 MB; kernels that want more opt in
+# via CompilerParams(vmem_limit_bytes=...) (measured on-chip: 96 MB of
+# resident blocks compile and run, 112 MB spills).
+_VMEM_WH_LIMIT = 40 * 1024 * 1024          # one resident w_h (bf16)
+_VMEM_WH_PACKED_LIMIT = 44 * 1024 * 1024   # both directions' w_h together
+_VMEM_LIMIT_BYTES = 88 * 1024 * 1024       # per-kernel scoped-vmem opt-in
 
 # interpreter mode for CPU correctness tests (set by tests)
 INTERPRET = False
 
 
+def _params(**kw):
+    # CompilerParams only on the compiled path (interpret ignores it anyway,
+    # but keep the call sites uniform)
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES, **kw)
+
+
 def _fits_vmem(h: int) -> bool:
     return h * 4 * h * 2 <= _VMEM_WH_LIMIT  # bf16 w_h
+
+
+def _fits_vmem_packed(h: int) -> bool:
+    return 2 * h * 4 * h * 2 <= _VMEM_WH_PACKED_LIMIT  # fw+bw bf16 w_h
 
 
 def _activations(gates, hidden):
@@ -150,6 +165,7 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_h: jnp.ndarray,
             pltpu.VMEM((b, hidden), jnp.float32),
             pltpu.VMEM((b, hidden), jnp.float32),
         ],
+        compiler_params=_params(),
         interpret=INTERPRET,
     )(xg, wh_c)
     return ys, cs, gates
@@ -187,6 +203,7 @@ def _lstm_bwd_pallas(w_h, ys, cs, gates, dy, reverse: bool = False):
             pltpu.VMEM((b, hidden), jnp.float32),
             pltpu.VMEM((b, hidden), jnp.float32),
         ],
+        compiler_params=_params(),
         interpret=INTERPRET,
     )(gates, wh_c, cs_prev, cs, dy)
     # dW_h = sum_t h_{t-1}^T dgates_t — ONE big MXU matmul outside the kernel
@@ -419,6 +436,213 @@ def _rec_bwd_chunked(res, dy):
 
 
 lstm_recurrence_chunked.defvjp(_rec_fwd_chunked, _rec_bwd_chunked)
+
+
+# --------------------------------------------------------------------------
+# Direction-packed bidirectional kernels: fw and bw recurrence advance in the
+# SAME grid step (fw at data index t, bw at T-1-t via BlockSpec index maps).
+# Halves the number of sequential grid iterations — the latency-bound part of
+# a small-batch RNN — and lets Mosaic overlap one direction's VPU gate math
+# with the other's MXU matmul. Both directions' w_h stay VMEM-resident for
+# the whole sequence (the v5e's real VMEM is ~128 MB; see _VMEM_LIMIT_BYTES).
+# --------------------------------------------------------------------------
+
+def _bi_fwd_kernel(xgf_ref, xgb_ref, whf_ref, whb_ref,
+                   ysf_ref, ysb_ref, csf_ref, csb_ref, gf_ref, gb_ref,
+                   hf_scr, cf_scr, hb_scr, cb_scr):
+    t = pl.program_id(0)
+    hidden = hf_scr.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        hf_scr[...] = jnp.zeros_like(hf_scr)
+        cf_scr[...] = jnp.zeros_like(cf_scr)
+        hb_scr[...] = jnp.zeros_like(hb_scr)
+        cb_scr[...] = jnp.zeros_like(cb_scr)
+
+    gates_f = xgf_ref[0] + jnp.dot(hf_scr[...].astype(whf_ref.dtype),
+                                   whf_ref[...],
+                                   preferred_element_type=jnp.float32)
+    gates_b = xgb_ref[0] + jnp.dot(hb_scr[...].astype(whb_ref.dtype),
+                                   whb_ref[...],
+                                   preferred_element_type=jnp.float32)
+    i_f, f_f, g_f, o_f = _activations(gates_f, hidden)
+    i_b, f_b, g_b, o_b = _activations(gates_b, hidden)
+    c_f = f_f * cf_scr[...] + i_f * g_f
+    c_b = f_b * cb_scr[...] + i_b * g_b
+    h_f = o_f * jnp.tanh(c_f)
+    h_b = o_b * jnp.tanh(c_b)
+    hf_scr[...] = h_f
+    cf_scr[...] = c_f
+    hb_scr[...] = h_b
+    cb_scr[...] = c_b
+    ysf_ref[0] = h_f
+    ysb_ref[0] = h_b
+    csf_ref[0] = c_f.astype(csf_ref.dtype)
+    csb_ref[0] = c_b.astype(csb_ref.dtype)
+    gf_ref[0] = gates_f.astype(gf_ref.dtype)
+    gb_ref[0] = gates_b.astype(gb_ref.dtype)
+
+
+def _bilstm_fwd_pallas(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
+                       wh_f: jnp.ndarray, wh_b: jnp.ndarray):
+    """xg_f/xg_b: (T,B,4H) f32 input pre-activations for the two directions
+    (both in DATA order). Returns (ys_f, ys_b, cs_f, cs_b, g_f, g_b)."""
+    t, b, h4 = xg_f.shape
+    hidden = h4 // 4
+    fm = lambda i: (i, 0, 0)
+    rm = lambda i: (t - 1 - i, 0, 0)
+    wm = lambda i: (0, 0)
+    outs = pl.pallas_call(
+        _bi_fwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, h4), fm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), rm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, h4), wm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, h4), wm, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, hidden), fm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), rm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), fm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), rm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), fm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), rm, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),   # ys_f
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),   # ys_b
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.bfloat16),  # cs_f
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.bfloat16),  # cs_b
+            jax.ShapeDtypeStruct((t, b, h4), jnp.bfloat16),      # gates_f
+            jax.ShapeDtypeStruct((t, b, h4), jnp.bfloat16),      # gates_b
+        ],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)] * 4,
+        compiler_params=_params(),
+        interpret=INTERPRET,
+    )(xg_f, xg_b, wh_f.astype(jnp.bfloat16), wh_b.astype(jnp.bfloat16))
+    return outs
+
+
+def _bi_bwd_kernel(gf_ref, gb_ref, whf_ref, whb_ref,
+                   cpf_ref, cpb_ref, cf_ref, cb_ref, dyf_ref, dyb_ref,
+                   dxgf_ref, dxgb_ref, dhf_scr, dcf_scr, dhb_scr, dcb_scr):
+    t = pl.program_id(0)
+    hidden = dhf_scr.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        dhf_scr[...] = jnp.zeros_like(dhf_scr)
+        dcf_scr[...] = jnp.zeros_like(dcf_scr)
+        dhb_scr[...] = jnp.zeros_like(dhb_scr)
+        dcb_scr[...] = jnp.zeros_like(dcb_scr)
+
+    def one_dir(g_ref, cp_ref, c_ref, dy_ref, dh_scr, dc_scr, wh_ref,
+                dxg_ref):
+        c_prev = cp_ref[0].astype(jnp.float32)
+        c_t = c_ref[0].astype(jnp.float32)
+        i, f, g, o = _activations(g_ref[0].astype(jnp.float32), hidden)
+        tanh_c = jnp.tanh(c_t)
+        dh = dy_ref[0] + dh_scr[...]
+        do = dh * tanh_c
+        dct = dc_scr[...] + dh * o * (1.0 - tanh_c * tanh_c)
+        dgates = jnp.concatenate([
+            dct * g * i * (1.0 - i), dct * c_prev * f * (1.0 - f),
+            dct * i * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
+        dxg_ref[0] = dgates.astype(dxg_ref.dtype)
+        dh_scr[...] = jnp.dot(dgates.astype(wh_ref.dtype), wh_ref[...].T,
+                              preferred_element_type=jnp.float32)
+        dc_scr[...] = dct * f
+
+    one_dir(gf_ref, cpf_ref, cf_ref, dyf_ref, dhf_scr, dcf_scr, whf_ref,
+            dxgf_ref)
+    one_dir(gb_ref, cpb_ref, cb_ref, dyb_ref, dhb_scr, dcb_scr, whb_ref,
+            dxgb_ref)
+
+
+def _bilstm_bwd_pallas(wh_f, wh_b, ys_f, ys_b, cs_f, cs_b, g_f, g_b,
+                       dy_f, dy_b):
+    t, b, h4 = g_f.shape
+    hidden = h4 // 4
+    zrow = jnp.zeros((1, b, hidden), cs_f.dtype)
+    # scan-predecessor in DATA order: fw scan ran 0..T-1 (pred of s is s-1),
+    # bw scan ran T-1..0 (pred of s is s+1)
+    cpf = jnp.concatenate([zrow, cs_f[:-1]], axis=0)
+    cpb = jnp.concatenate([cs_b[1:], zrow], axis=0)
+    # walk each direction's scan in reverse: fw bwd visits data T-1..0,
+    # bw bwd visits data 0..T-1
+    fmr = lambda i: (t - 1 - i, 0, 0)
+    rmr = lambda i: (i, 0, 0)
+    wm = lambda i: (0, 0)
+    dxg_f, dxg_b = pl.pallas_call(
+        _bi_bwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, h4), fmr, memory_space=pltpu.VMEM),    # g_f
+            pl.BlockSpec((1, b, h4), rmr, memory_space=pltpu.VMEM),    # g_b
+            pl.BlockSpec((hidden, h4), wm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, h4), wm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), fmr, memory_space=pltpu.VMEM),  # cpf
+            pl.BlockSpec((1, b, hidden), rmr, memory_space=pltpu.VMEM),  # cpb
+            pl.BlockSpec((1, b, hidden), fmr, memory_space=pltpu.VMEM),  # cf
+            pl.BlockSpec((1, b, hidden), rmr, memory_space=pltpu.VMEM),  # cb
+            pl.BlockSpec((1, b, hidden), fmr, memory_space=pltpu.VMEM),  # dyf
+            pl.BlockSpec((1, b, hidden), rmr, memory_space=pltpu.VMEM),  # dyb
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, h4), fmr, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h4), rmr, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, h4), jnp.bfloat16),
+            jax.ShapeDtypeStruct((t, b, h4), jnp.bfloat16),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)] * 4,
+        compiler_params=_params(),
+        interpret=INTERPRET,
+    )(g_f, g_b, wh_f.astype(jnp.bfloat16), wh_b.astype(jnp.bfloat16),
+      cpf, cpb, cs_f, cs_b, dy_f, dy_b)
+
+    ypf = jnp.concatenate([jnp.zeros((1, b, hidden), ys_f.dtype),
+                           ys_f[:-1]], axis=0)
+    ypb = jnp.concatenate([ys_b[1:],
+                           jnp.zeros((1, b, hidden), ys_b.dtype)], axis=0)
+    dwh_f = jnp.einsum("tbh,tbk->hk", ypf, dxg_f.astype(ypf.dtype),
+                       preferred_element_type=jnp.float32)
+    dwh_b = jnp.einsum("tbh,tbk->hk", ypb, dxg_b.astype(ypb.dtype),
+                       preferred_element_type=jnp.float32)
+    return (dxg_f.astype(jnp.float32), dxg_b.astype(jnp.float32),
+            dwh_f, dwh_b)
+
+
+@jax.custom_vjp
+def bilstm_recurrence(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
+                      wh_f: jnp.ndarray, wh_b: jnp.ndarray):
+    """Direction-packed BLSTM recurrence: both directions' (T,B,4H) gate
+    inputs (data order) -> (ys_f, ys_b) (T,B,H) each, zero initial state.
+    One pallas_call advances fw at data index t and bw at T-1-t."""
+    ys_f, ys_b, _, _, _, _ = _bilstm_fwd_pallas(xg_f, xg_b, wh_f, wh_b)
+    return ys_f, ys_b
+
+
+def _bi_rec_fwd(xg_f, xg_b, wh_f, wh_b):
+    ys_f, ys_b, cs_f, cs_b, g_f, g_b = _bilstm_fwd_pallas(
+        xg_f, xg_b, wh_f, wh_b)
+    res = (wh_f, wh_b, ys_f.astype(jnp.bfloat16), ys_b.astype(jnp.bfloat16),
+           cs_f, cs_b, g_f, g_b)
+    return (ys_f, ys_b), res
+
+
+def _bi_rec_bwd(res, dys):
+    wh_f, wh_b, ys_f, ys_b, cs_f, cs_b, g_f, g_b = res
+    dy_f, dy_b = dys
+    dxg_f, dxg_b, dwh_f, dwh_b = _bilstm_bwd_pallas(
+        wh_f, wh_b, ys_f, ys_b, cs_f, cs_b, g_f, g_b, dy_f, dy_b)
+    return dxg_f, dxg_b, dwh_f.astype(wh_f.dtype), dwh_b.astype(wh_b.dtype)
+
+
+bilstm_recurrence.defvjp(_bi_rec_fwd, _bi_rec_bwd)
 
 
 def pallas_available(hidden: int) -> bool:

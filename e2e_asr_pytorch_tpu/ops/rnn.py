@@ -159,6 +159,23 @@ def bilstm_layer(params_fw, params_bw, x, compute_dtype=jnp.float32,
     with the recurrent weights resident in VMEM."""
     hidden = params_fw["w_h"].shape[0]
     if _use_pallas(hidden):
+        from e2e_asr_pytorch_tpu.ops.pallas import lstm as PL
+        if PL._fits_vmem_packed(hidden):
+            # direction-packed kernel: one pallas_call advances fw at data
+            # index t and bw at T-1-t — half the sequential grid steps, and
+            # one direction's VPU gate math overlaps the other's MXU matmul
+            eq = "tbd,dh->tbh" if time_major else "btd,dh->tbh"
+            cd = compute_dtype
+            xg_f = jnp.einsum(eq, x.astype(cd), params_fw["w_x"].astype(cd),
+                              preferred_element_type=jnp.float32
+                              ) + params_fw["b"]
+            xg_b = jnp.einsum(eq, x.astype(cd), params_bw["w_x"].astype(cd),
+                              preferred_element_type=jnp.float32
+                              ) + params_bw["b"]
+            ys_f, ys_b = PL.bilstm_recurrence(xg_f, xg_b, params_fw["w_h"],
+                                              params_bw["w_h"])
+            y = jnp.concatenate([ys_f, ys_b], axis=-1)
+            return y if time_major else jnp.swapaxes(y, 0, 1)
         y_fw = lstm_layer_pallas(params_fw, x, compute_dtype=compute_dtype,
                                  time_major=time_major)
         y_bw = lstm_layer_pallas(params_bw, x, reverse=True,

@@ -65,9 +65,14 @@ def test_grads_match_scan():
 def test_vmem_gate():
     assert PL._fits_vmem(1280)
     assert not PL._fits_vmem(4096)
-    # LM-scale dispatch: chunked kernel for w_h beyond VMEM
+    # LM-scale (H=2048, w_h 33 MB bf16) is resident since the scoped-vmem
+    # opt-in (v5e VMEM is ~128 MB); truly huge hidden sizes still chunk
     assert PL.recurrence_fn(1280) is PL.lstm_recurrence
-    assert PL.recurrence_fn(2048) is PL.lstm_recurrence_chunked
+    assert PL.recurrence_fn(2048) is PL.lstm_recurrence
+    assert PL.recurrence_fn(4096) is PL.lstm_recurrence_chunked
+    # direction packing: both flagship encoder directions fit together
+    assert PL._fits_vmem_packed(1280)
+    assert not PL._fits_vmem_packed(2048)
 
 
 def test_chunking_plan():
@@ -123,6 +128,62 @@ def test_chunked_equals_resident_kernel():
     y1 = PL.lstm_recurrence(xg, w_h)
     y2 = PL.lstm_recurrence_chunked(xg, w_h)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_bilstm_packed_forward_matches_directional():
+    """Direction-packed kernel == the two single-direction kernels."""
+    rng = np.random.default_rng(5)
+    t, b, h = 11, 3, 8
+    xg_f = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32)
+    xg_b = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32)
+    wh_f = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.3, jnp.float32)
+    wh_b = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.3, jnp.float32)
+    ys_f, ys_b = PL.bilstm_recurrence(xg_f, xg_b, wh_f, wh_b)
+    ref_f = PL.lstm_recurrence(xg_f, wh_f)
+    ref_b = PL.lstm_recurrence(xg_b, wh_b, reverse=True)
+    np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ref_f),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys_b), np.asarray(ref_b),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_bilstm_packed_grads_match_scan():
+    rng = np.random.default_rng(6)
+    t, b, h = 7, 2, 8
+    xg_f = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32)
+    xg_b = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32)
+    wh_f = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.3, jnp.float32)
+    wh_b = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.3, jnp.float32)
+    tgt_f = jnp.asarray(rng.standard_normal((t, b, h)), jnp.float32)
+    tgt_b = jnp.asarray(rng.standard_normal((t, b, h)), jnp.float32)
+
+    def _scan_rev(xg, w):
+        tt, bb, h4 = xg.shape
+        hh = h4 // 4
+
+        def step(carry, xg_t):
+            h_, c_ = R.lstm_cell({"w_h": w}, xg_t, *carry,
+                                 compute_dtype=jnp.bfloat16)
+            return (h_, c_), h_
+
+        z = jnp.zeros((bb, hh), jnp.float32)
+        _, ys = jax.lax.scan(step, (z, z), xg, reverse=True)
+        return ys
+
+    def loss_p(xg_f, xg_b, wf, wb):
+        yf, yb = PL.bilstm_recurrence(xg_f, xg_b, wf, wb)
+        return jnp.sum((yf - tgt_f) ** 2) + jnp.sum((yb - tgt_b) ** 2)
+
+    def loss_s(xg_f, xg_b, wf, wb):
+        yf = _scan_ref(xg_f, wf)
+        yb = _scan_rev(xg_b, wb)
+        return jnp.sum((yf - tgt_f) ** 2) + jnp.sum((yb - tgt_b) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(xg_f, xg_b, wh_f, wh_b)
+    gs = jax.grad(loss_s, argnums=(0, 1, 2, 3))(xg_f, xg_b, wh_f, wh_b)
+    for a, b_ in zip(gp, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-2, atol=5e-2)
 
 
 def test_reverse_in_kernel_matches_flip():
