@@ -197,15 +197,15 @@ def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
     xg_emb = jnp.einsum("tbe,eg->tbg", emb_seq.astype(compute_dtype),
                         w_emb.astype(compute_dtype),
                         preferred_element_type=jnp.float32) + l1["b"]
-    # fold the context projection into the (cached) values: (B,T,4H).
-    # Materialized in compute dtype: every decode step re-reads this whole
+    # Attention values in compute dtype: every decode step re-reads this
     # table from HBM (it cannot fit VMEM), so bf16 halves the scan's
-    # dominant memory traffic; the in-scan einsums already contracted it in
-    # compute dtype, so the forward math is unchanged.
-    vp = jnp.einsum("btd,dg->btg",
-                    cache["value"][:, :, 0, :].astype(compute_dtype),
-                    w_ctx.astype(compute_dtype),
-                    preferred_element_type=jnp.float32).astype(compute_dtype)
+    # dominant memory traffic. The context half of layer-1 w_x is applied
+    # per step AFTER the (B,Te,D)x(B,Te) context reduction — at training
+    # batch, streaming the raw (B,Te,D_enc) values + one (D_enc,4H) weight
+    # load per step is ~2.3x less traffic than re-reading a pre-projected
+    # (B,Te,4H) table (measured: the projected-table read was the single
+    # largest HBM stream in the whole train step at batch 32).
+    values = cache["value"][:, :, 0, :].astype(compute_dtype)
 
     # hand-written-VJP fast path (the flagship envelope): 2-layer LSTM,
     # loc/dot attention, no decoder dropout — weight-grad accumulations and
@@ -220,7 +220,7 @@ def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
                          compute_dtype)
         feats_t, attn_s = FV.folded_decoder(
             cfg, xg_emb,
-            vp, cache["key"][:, :, 0, :].astype(compute_dtype),
+            values, w_ctx, cache["key"][:, :, 0, :].astype(compute_dtype),
             (cache["loc_band"][0].astype(compute_dtype) if is_loc else None),
             jnp.where(cache["mask"], 0.0, FV.NEG_INF),
             prev_att0[:, 0, :], dec_state0[0], dec_state0[1],
@@ -244,10 +244,11 @@ def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
         attn, new_prev = A.attention_weights_step(
             params["attention"], spec.attention, query, cache, prev_att,
             compute_dtype)
-        xg1 = xg_emb_t + jnp.einsum("bt,btg->bg",
-                                    attn[:, 0, :].astype(compute_dtype),
-                                    vp.astype(compute_dtype),
-                                    preferred_element_type=jnp.float32)
+        ctx = jnp.einsum("bt,btd->bd", attn[:, 0, :].astype(compute_dtype),
+                         values, preferred_element_type=jnp.float32)
+        xg1 = xg_emb_t + jnp.dot(ctx.astype(compute_dtype),
+                                 w_ctx.astype(compute_dtype),
+                                 preferred_element_type=jnp.float32)
         h, c = R.lstm_cell(l1, xg1, hs[0], cs[0], compute_dtype)
         new_h, new_c = [h], [c]
         outs = h

@@ -14,6 +14,13 @@ gradients as stacked outputs, weight gradients collapse to a handful of
 whole-sequence einsums AFTER the scan, and the energy-MLP intermediate is
 recomputed from the (tiny) stashed attention weights instead of stored.
 
+The context projection (the context half of layer-1 w_x) is applied per
+step after the attention reduction rather than pre-folded into the value
+table: a pre-projected (B,Te,4H) table re-read every scan step was the
+single largest HBM stream in the flagship train step at batch 32 (~84 MB x
+144 steps x fwd+bwd); streaming the raw (B,Te,D_enc) values plus one
+(D_enc,4H) weight load per step is ~2.3x less traffic.
+
 Scope (the flagship recipe, reference config librispeech_asr_best.yaml):
 2-layer LSTM decoder, single-head 'loc' or 'dot' attention, pure teacher
 forcing, no decoder dropout, no fusion. models/asr.py falls back to the
@@ -73,27 +80,32 @@ def _attn_step(cfg: FoldCfg, q, prev_att, key, band, neg_bias, w_lp, w_e, b_e):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def folded_decoder(cfg: FoldCfg, xg_emb, vp, key, band, neg_bias, prev0,
-                   h0, c0, w_q, b_q, w_lp, w_e, b_e, w_h1, w_x2, b2, w_h2):
+def folded_decoder(cfg: FoldCfg, xg_emb, values, w_ctx, key, band, neg_bias,
+                   prev0, h0, c0, w_q, b_q, w_lp, w_e, b_e, w_h1, w_x2, b2,
+                   w_h2):
     """Teacher-forced 2-layer-LSTM decoder scan with folded inputs.
 
     xg_emb (L,B,4H): embedding half of layer-1 gate pre-activations (+b1).
-    vp (B,Te,4H): values pre-projected by the context half of layer-1 w_x.
+    values (B,Te,D_enc): attention values; w_ctx (D_enc,4H) the context half
+    of layer-1 w_x, applied per step AFTER the context reduction (at train
+    batch the per-step w_ctx load is far cheaper than re-reading a
+    pre-projected (B,Te,4H) table from HBM every step).
     key (B,Te,D): projected keys. band (Te,Te*Kn) loc operator or None.
     neg_bias (B,Te): 0 on valid frames, NEG_INF on padding.
     prev0 (B,Te) initial attention; h0/c0 (2,B,H) initial LSTM state.
     Returns (feats (L,B,H), attn (L,B,Te)).
     """
-    (feats, attn), _ = _fwd_scan(cfg, xg_emb, vp, key, band, neg_bias, prev0,
-                                 h0, c0, w_q, b_q, w_lp, w_e, b_e, w_h1,
-                                 w_x2, b2, w_h2)
+    (feats, attn), _ = _fwd_scan(cfg, xg_emb, values, w_ctx, key, band,
+                                 neg_bias, prev0, h0, c0, w_q, b_q, w_lp,
+                                 w_e, b_e, w_h1, w_x2, b2, w_h2)
     return feats, attn
 
 
-def _fwd_scan(cfg, xg_emb, vp, key, band, neg_bias, prev0, h0, c0,
+def _fwd_scan(cfg, xg_emb, values, w_ctx, key, band, neg_bias, prev0, h0, c0,
               w_q, b_q, w_lp, w_e, b_e, w_h1, w_x2, b2, w_h2):
     cd = cfg.compute_dtype
     hidden = w_h1.shape[0]
+    w_ctx_cd = w_ctx.astype(cd)
 
     def step(carry, xg_emb_t):
         h1, c1, h2, c2, prev_att = carry
@@ -103,8 +115,10 @@ def _fwd_scan(cfg, xg_emb, vp, key, band, neg_bias, prev0, h0, c0,
         q = jnp.tanh(qpre)
         attn = _attn_step(cfg, q, prev_att, key, band, neg_bias,
                           w_lp, w_e, b_e)
-        ctxg = jnp.einsum("bt,btg->bg", attn.astype(cd), vp.astype(cd),
-                          preferred_element_type=jnp.float32)
+        ctx = jnp.einsum("bt,btd->bd", attn.astype(cd), values.astype(cd),
+                         preferred_element_type=jnp.float32)
+        ctxg = jnp.dot(ctx.astype(cd), w_ctx_cd,
+                       preferred_element_type=jnp.float32)
         gates1 = xg_emb_t + ctxg + jnp.dot(h1.astype(cd), w_h1.astype(cd),
                                            preferred_element_type=jnp.float32)
         i1, f1, g1, o1 = _lstm_act(gates1, hidden)
@@ -118,26 +132,27 @@ def _fwd_scan(cfg, xg_emb, vp, key, band, neg_bias, prev0, h0, c0,
         c2n = f2 * c2 + i2 * g2
         h2n = o2 * jnp.tanh(c2n)
         new_prev = attn if cfg.mode == "loc" else prev_att
-        ys = (h2n, attn, h1n, c1n, c2n, gates1, gates2, q)
+        ys = (h2n, attn, h1n, c1n, c2n, gates1, gates2, q,
+              ctx.astype(cd))
         return (h1n, c1n, h2n, c2n, new_prev), ys
 
     _, ys = jax.lax.scan(step, (h0[0], c0[0], h0[1], c0[1], prev0), xg_emb)
-    feats, attn_s, h1_s, c1_s, c2_s, gates1_s, gates2_s, q_s = ys
-    res = (attn_s, h1_s, feats, c1_s, c2_s, gates1_s, gates2_s, q_s,
-           vp, key, band, neg_bias, prev0, h0, c0,
+    feats, attn_s, h1_s, c1_s, c2_s, gates1_s, gates2_s, q_s, ctx_s = ys
+    res = (attn_s, h1_s, feats, c1_s, c2_s, gates1_s, gates2_s, q_s, ctx_s,
+           values, w_ctx, key, band, neg_bias, prev0, h0, c0,
            w_q, w_lp, w_e, w_h1, w_x2, w_h2)
     return (feats, attn_s), res
 
 
-def _vjp_fwd(cfg, xg_emb, vp, key, band, neg_bias, prev0, h0, c0,
+def _vjp_fwd(cfg, xg_emb, values, w_ctx, key, band, neg_bias, prev0, h0, c0,
              w_q, b_q, w_lp, w_e, b_e, w_h1, w_x2, b2, w_h2):
-    return _fwd_scan(cfg, xg_emb, vp, key, band, neg_bias, prev0, h0, c0,
-                     w_q, b_q, w_lp, w_e, b_e, w_h1, w_x2, b2, w_h2)
+    return _fwd_scan(cfg, xg_emb, values, w_ctx, key, band, neg_bias, prev0,
+                     h0, c0, w_q, b_q, w_lp, w_e, b_e, w_h1, w_x2, b2, w_h2)
 
 
 def _vjp_bwd(cfg, res, cts):
-    (attn_s, h1_s, h2_s, c1_s, c2_s, gates1_s, gates2_s, q_s,
-     vp, key, band, neg_bias, prev0, h0, c0,
+    (attn_s, h1_s, h2_s, c1_s, c2_s, gates1_s, gates2_s, q_s, ctx_s,
+     values, w_ctx, key, band, neg_bias, prev0, h0, c0,
      w_q, w_lp, w_e, w_h1, w_x2, w_h2) = res
     dfeats, dattn_out = cts
     cd = cfg.compute_dtype
@@ -161,6 +176,7 @@ def _vjp_bwd(cfg, res, cts):
     wh1_t = w_h1.astype(cd).T
     wx2_t = w_x2.astype(cd).T
     wh2_t = w_h2.astype(cd).T
+    wctx_t = w_ctx.astype(cd).T
     if is_loc:
         wlp_t = w_lp.astype(cd).T
         band_cd = band.astype(cd)
@@ -199,7 +215,10 @@ def _vjp_bwd(cfg, res, cts):
                            preferred_element_type=jnp.float32)
 
         # ---- attention backward (dgates1 is also d(ctxg) and d(xg_emb_t))
-        dattn = jnp.einsum("bg,btg->bt", dgates1.astype(cd), vp.astype(cd),
+        dctx = jnp.dot(dgates1.astype(cd), wctx_t,
+                       preferred_element_type=jnp.float32)          # (B,De)
+        dattn = jnp.einsum("bd,btd->bt", dctx.astype(cd),
+                           values.astype(cd),
                            preferred_element_type=jnp.float32)
         dattn = dattn + dattn_out_t
         if is_loc:
@@ -249,7 +268,8 @@ def _vjp_bwd(cfg, res, cts):
 
         new_carry = (dh1_prev, dc1_prev, dh2_prev, dc2_prev, dprev_new,
                      dkey_acc, dwe_acc, dbe_acc, dwlp_acc)
-        return new_carry, (dgates1, dgates2, dqpre, step_stack)
+        return new_carry, (dgates1, dgates2, dqpre, step_stack,
+                           dctx.astype(cd))
 
     d = q_s.shape[-1]
     zero_carry = (
@@ -265,7 +285,7 @@ def _vjp_bwd(cfg, res, cts):
     final, stacks = jax.lax.scan(step, zero_carry, xs, reverse=True)
     (dh1_0, dc1_0, dh2_0, dc2_0, dprev_final,
      dkey_acc, dwe_acc, dbe_acc, dwlp_acc) = final
-    dgates1_s, dgates2_s, dqpre_s, step_stack_s = stacks
+    dgates1_s, dgates2_s, dqpre_s, step_stack_s, dctx_s = stacks
 
     # ---- weight gradients: whole-sequence einsums (the point of this VJP)
     def wgrad(inp_s, dg_s):
@@ -273,9 +293,13 @@ def _vjp_bwd(cfg, res, cts):
                           preferred_element_type=jnp.float32)
 
     d_xg_emb = dgates1_s
-    d_vp = jnp.einsum("lbt,lbg->btg", attn_s.astype(cd),
-                      dgates1_s.astype(cd),
-                      preferred_element_type=jnp.float32).astype(vp.dtype)
+    d_w_ctx = jnp.einsum("lbd,lbg->dg", ctx_s.astype(cd),
+                         dgates1_s.astype(cd),
+                         preferred_element_type=jnp.float32)
+    d_values = jnp.einsum("lbt,lbd->btd", attn_s.astype(cd),
+                          dctx_s.astype(cd),
+                          preferred_element_type=jnp.float32
+                          ).astype(values.dtype)
     query_s = jnp.concatenate([h1_prev_s, h2_prev_s], axis=-1)
     d_wq = wgrad(query_s, dqpre_s)
     d_bq = jnp.sum(dqpre_s, axis=(0, 1))
@@ -305,8 +329,9 @@ def _vjp_bwd(cfg, res, cts):
     d_h0 = jnp.stack([dh1_0, dh2_0])
     d_c0 = jnp.stack([dc1_0, dc2_0])
     d_negbias = jnp.zeros_like(neg_bias)
-    return (d_xg_emb, d_vp, d_key, d_band, d_negbias, d_prev0, d_h0, d_c0,
-            d_wq, d_bq, d_wlp, d_we, d_be, d_wh1, d_wx2, d_b2, d_wh2)
+    return (d_xg_emb, d_values, d_w_ctx, d_key, d_band, d_negbias, d_prev0,
+            d_h0, d_c0, d_wq, d_bq, d_wlp, d_we, d_be, d_wh1, d_wx2, d_b2,
+            d_wh2)
 
 
 folded_decoder.defvjp(_vjp_fwd, _vjp_bwd)
