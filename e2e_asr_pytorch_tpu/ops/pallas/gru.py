@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from e2e_asr_pytorch_tpu.ops.pallas.lstm import _VMEM_WH_LIMIT
+from e2e_asr_pytorch_tpu.ops.pallas.lstm import (_VMEM_WH_LIMIT,
+                                                 _params)
 
 INTERPRET = False
 
@@ -107,6 +108,7 @@ def _fwd(xg, w_h, b_h, reverse: bool = False):
             jax.ShapeDtypeStruct((t, b, h3), jnp.bfloat16),
         ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=_params(),
         interpret=INTERPRET,
     )(xg, w_h.astype(jnp.bfloat16), b_h[None, :])
     return ys, hgs
@@ -142,6 +144,7 @@ def _bwd(xg, w_h, hgs, ys, dy, reverse: bool = False):
             jax.ShapeDtypeStruct((t, b, h3), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=_params(),
         interpret=INTERPRET,
     )(xg, w_h.astype(jnp.bfloat16), hgs, ys_prev, dy)
     dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dhg.astype(ys_prev.dtype),

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from e2e_asr_pytorch_tpu.ops.pallas.lstm import _VMEM_WH_LIMIT
+from e2e_asr_pytorch_tpu.ops.pallas.lstm import (_VMEM_WH_LIMIT,
+                                                 _params)
 
 INTERPRET = False
 
@@ -97,6 +98,7 @@ def _fwd(xg, w_h, mask, reverse: bool = False):
             jax.ShapeDtypeStruct((t, b, h2), jnp.bfloat16),
         ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=_params(),
         interpret=INTERPRET,
     )(xg, w_h.astype(jnp.bfloat16), mask)
     return ys, hgs
@@ -128,6 +130,7 @@ def _bwd(xg, w_h, mask, hgs, ys, dy, reverse: bool = False):
         out_specs=pl.BlockSpec((1, b, h2), rev, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, b, h2), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=_params(),
         interpret=INTERPRET,
     )(xg, w_h.astype(jnp.bfloat16), mask, hgs, ys_prev, dy)
     dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg.astype(ys_prev.dtype),
