@@ -94,14 +94,9 @@ def _conv(p: Dict, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
 
 
 def _maxpool(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
-    # non-overlapping pool as trim+reshape+max (same result as a VALID
-    # stride=window reduce_window, but the VJP is an elementwise mask
-    # instead of XLA's select-and-scatter, which is ~3 ms/step on TPU)
-    b, t, f, c = x.shape
-    wt, wf = window
-    x = x[:, :t - t % wt, :f - f % wf]
-    x = x.reshape(b, t // wt, wt, f // wf, wf, c)
-    return jnp.max(x, axis=(2, 4))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1,) + window + (1,), (1,) + window + (1,),
+        "VALID")
 
 
 def _ln_init(dim: int) -> Dict:
