@@ -31,6 +31,7 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    jax.config.update("jax_default_prng_impl", "rbg")  # match bench.py
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -49,7 +50,8 @@ def main():
     spec = M.build_spec(feat_cfg.out_dim, vocab, **_flagship_model_cfg(1.0))
     params = M.asr_init(jax.random.PRNGKey(0), spec)
     tx, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,
-                              lr_scheduler="fixed")
+                              lr_scheduler="fixed",
+                              optim_state_dtype="bfloat16")  # match bench.py
     opt_state = tx.init(params)
 
     def train_step(params, opt_state, wav, wav_len, txt, txt_len, rng):
