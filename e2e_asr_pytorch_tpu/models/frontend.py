@@ -94,9 +94,25 @@ def _conv(p: Dict, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
 
 
 def _maxpool(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1,) + window + (1,), (1,) + window + (1,),
-        "VALID")
+    # Non-overlapping pool. Two equivalent formulations with different
+    # backward-pass cost profiles (shapes are static, so this is a
+    # compile-time choice):
+    #  * trim+reshape+max: VJP is an elementwise mask — ~3 ms/step cheaper
+    #    than XLA's select-and-scatter at batch 32, but its backward
+    #    materializes an extra input-sized f32 temporary;
+    #  * reduce_window: select-and-scatter backward is slower but leaner —
+    #    at batch >= 96 the reshape form's temporaries push the flagship
+    #    step over HBM (measured: b128 fits with reduce_window, OOMs by
+    #    1.6 GB with reshape+max).
+    b, t, f, c = x.shape
+    if b >= 96:
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1,) + window + (1,),
+            (1,) + window + (1,), "VALID")
+    wt, wf = window
+    x = x[:, :t - t % wt, :f - f % wf]
+    x = x.reshape(b, t // wt, wt, f // wf, wf, c)
+    return jnp.max(x, axis=(2, 4))
 
 
 def _ln_init(dim: int) -> Dict:
