@@ -101,11 +101,11 @@ def _maxpool(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
     #    than XLA's select-and-scatter at batch 32, but its backward
     #    materializes an extra input-sized f32 temporary;
     #  * reduce_window: select-and-scatter backward is slower but leaner —
-    #    at batch >= 96 the reshape form's temporaries push the flagship
-    #    step over HBM (measured: b128 fits with reduce_window, OOMs by
-    #    1.6 GB with reshape+max).
+    #    the reshape form's input-sized temporaries cost real bandwidth as
+    #    batch grows (measured: b64 is 24 ms/step slower with reshape+max,
+    #    and b128 OOMs HBM by 1.6 GB with it).
     b, t, f, c = x.shape
-    if b >= 96:
+    if b >= 48:
         return jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1,) + window + (1,),
             (1,) + window + (1,), "VALID")
