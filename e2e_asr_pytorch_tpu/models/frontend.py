@@ -84,13 +84,14 @@ def _conv_init(key, in_ch: int, out_ch: int, k: int = 3) -> Dict:
 
 
 def _conv(p: Dict, x: jnp.ndarray, compute_dtype=jnp.float32) -> jnp.ndarray:
-    # conv output dtype follows inputs; cast back to f32 after (a mixed
-    # preferred_element_type breaks the transposed conv in the VJP)
+    # The whole stack stays in compute_dtype: casting each conv output back
+    # to f32 doubles the elementwise HBM traffic of the LN/relu chain and
+    # inserts a convert pass per conv (~45 ms/step at batch 128).
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), p["w"].astype(compute_dtype),
         window_strides=(1, 1), padding=[(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y.astype(jnp.float32) + p["b"]
+    return y + p["b"].astype(compute_dtype)
 
 
 def _maxpool(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
@@ -122,11 +123,16 @@ def _ln_init(dim: int) -> Dict:
 
 def _layernorm_freq(p: Dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """LayerNorm over the freq axis of (B,T,F,C) — matches the reference's
-    CNNLayerNorm(n_feats) applied to (B,C,T,F) (src/module.py:542-550)."""
-    mean = jnp.mean(x, axis=2, keepdims=True)
-    var = jnp.var(x, axis=2, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * p["scale"][None, None, :, None] + p["bias"][None, None, :, None]
+    CNNLayerNorm(n_feats) applied to (B,C,T,F) (src/module.py:542-550).
+    Statistics in f32 (bf16 accumulation over freq is too lossy); data stays
+    in the input dtype — the upcast is in-register inside one fusion."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=2, keepdims=True)
+    var = jnp.var(xf, axis=2, keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    scale = p["scale"].astype(x.dtype)[None, None, :, None]
+    bias = p["bias"].astype(x.dtype)[None, None, :, None]
+    return y * scale + bias
 
 
 def _vgg_stack_init(key, in_ch: int, c1: int, c2: int, with_ln: bool,
@@ -240,11 +246,14 @@ def frontend_apply(params: Dict, spec: FrontendSpec, feat: jnp.ndarray,
         # channel-major flatten like the torch transpose+view
         lo = jnp.swapaxes(lo, 2, 3).reshape(b, t2, -1)
         hi = jnp.swapaxes(hi, 2, 3).reshape(b, t2, -1)
-        return jnp.concatenate([lo, hi], axis=-1), feat_len
+        out = jnp.concatenate([lo, hi], axis=-1)
+        return out.astype(jnp.float32), feat_len
     else:
         raise NotImplementedError
 
-    # (B,T',F',C') -> (B,T', C'*F') — torch flattens channel-major
+    # (B,T',F',C') -> (B,T', C'*F') — torch flattens channel-major.
+    # f32 at the public boundary (T is already pooled /4 here, so the cast
+    # is cheap); the encoder stack re-casts per layer as it needs.
     b, t2, f2, c2 = x.shape
     x = jnp.swapaxes(x, 2, 3).reshape(b, t2, c2 * f2)
-    return x, feat_len
+    return x.astype(jnp.float32), feat_len
