@@ -18,6 +18,7 @@ reference's ``view_input`` (feat dim D = C * freq, channel-major).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, NamedTuple, Tuple
 
 import jax
@@ -105,8 +106,10 @@ def _maxpool(x: jnp.ndarray, window: Tuple[int, int]) -> jnp.ndarray:
     #    the reshape form's input-sized temporaries cost real bandwidth as
     #    batch grows (measured: b64 is 24 ms/step slower with reshape+max,
     #    and b128 OOMs HBM by 1.6 GB with it).
+    # VGG_POOL=reshape|reduce_window overrides the batch gate (A/B tooling).
     b, t, f, c = x.shape
-    if b >= 48:
+    mode = os.environ.get("VGG_POOL", "")
+    if mode == "reduce_window" or (mode != "reshape" and b >= 48):
         return jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1,) + window + (1,),
             (1,) + window + (1,), "VALID")
