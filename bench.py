@@ -335,9 +335,32 @@ def _chip_peak_flops(dev) -> float:
     return 0.0 if dev.platform != "tpu" else 197e12
 
 
+def _run_with_backend_retry(fn, attempts: int = 4, delay_s: float = 90.0):
+    """The tunneled TPU backend occasionally reports UNAVAILABLE for a few
+    minutes (observed: setup/compile error at init). A transient outage at
+    bench time must not zero out the round's artifact, so retry init-time
+    failures in a fresh interpreter state a few times before giving up."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # jax.errors.JaxRuntimeError at backend init
+            msg = str(e)
+            transient = "UNAVAILABLE" in msg or "Unable to initialize backend" in msg
+            if not transient or i == attempts - 1:
+                raise
+            print("bench: backend unavailable (attempt {}/{}): {}".format(
+                i + 1, attempts, msg.splitlines()[0]), file=sys.stderr)
+            try:  # drop the cached init failure so the next attempt re-dials
+                import jax
+                jax.clear_backends()
+            except Exception:
+                pass
+            time.sleep(delay_s)
+
+
 if __name__ == "__main__":
     if "--epoch" in sys.argv:
-        rc = main()
+        rc = _run_with_backend_retry(main)
         rc = epoch_bench() or rc
         sys.exit(rc)
-    sys.exit(main())
+    sys.exit(_run_with_backend_retry(main))
