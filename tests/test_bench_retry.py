@@ -1,0 +1,59 @@
+"""bench.py must survive transient TPU-tunnel outages (UNAVAILABLE at
+backend init) by retrying, while re-raising genuine failures unchanged —
+a flake at round end must not zero out the bench artifact."""
+
+import importlib.util
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_retries_transient_backend_unavailable():
+    bench = _load_bench()
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(
+                "UNAVAILABLE: TPU backend setup/compile error (Unavailable).")
+        return 0
+
+    assert bench._run_with_backend_retry(flaky, attempts=4, delay_s=0.0) == 0
+    assert calls["n"] == 3
+
+
+def test_gives_up_after_max_attempts():
+    bench = _load_bench()
+    calls = {"n": 0}
+
+    def always_down():
+        calls["n"] += 1
+        raise RuntimeError("Unable to initialize backend 'axon'")
+
+    with pytest.raises(RuntimeError):
+        bench._run_with_backend_retry(always_down, attempts=3, delay_s=0.0)
+    assert calls["n"] == 3
+
+
+def test_reraises_real_errors_immediately():
+    bench = _load_bench()
+    calls = {"n": 0}
+
+    def real_bug():
+        calls["n"] += 1
+        raise ValueError("shape mismatch somewhere in the step")
+
+    with pytest.raises(ValueError):
+        bench._run_with_backend_retry(real_bug, attempts=5, delay_s=0.0)
+    assert calls["n"] == 1
