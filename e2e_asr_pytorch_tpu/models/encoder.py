@@ -153,9 +153,11 @@ def _rnn_layer_apply(p: Dict, spec: EncoderSpec, l: int, x: jnp.ndarray,
             t = (t // sr) * sr
             y = y[:, :t, :].reshape(b, t // sr, d * sr)
 
-    # projection
+    # projection (output written in compute_dtype: the next layer's input
+    # matmul and the attention/CTC heads all read it in compute_dtype anyway,
+    # so a bf16 run never round-trips the (T,B,D) stream through f32)
     if spec.proj[l]:
-        y = jnp.tanh(R.linear(p["pj"], y, compute_dtype))
+        y = jnp.tanh(R.linear(p["pj"], y, compute_dtype)).astype(compute_dtype)
     return y, x_len
 
 

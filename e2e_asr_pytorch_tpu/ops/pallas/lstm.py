@@ -89,7 +89,11 @@ def _fwd_kernel(xg_ref, wh_ref, ys_ref, cs_ref, gates_ref, h_scr, c_scr):
     h = o * jnp.tanh(c)
     h_scr[...] = h
     c_scr[...] = c
-    ys_ref[0] = h
+    # the hidden stream is emitted in the CALLER's dtype (xg's dtype): the
+    # recurrence carry stays f32 in VMEM, but a bf16 caller gets a bf16
+    # (T,B,H) stream — half the HBM writes, and every downstream consumer
+    # (dropout, proj, next layer's input matmul) already computes in bf16
+    ys_ref[0] = h.astype(ys_ref.dtype)
     # the backward-pass stashes live in HBM until the bwd kernel streams
     # them back: bf16 halves that traffic and the fwd->bwd residency
     # (f32[T,B,4H] gates are the single largest training buffer)
@@ -157,7 +161,7 @@ def _lstm_fwd_pallas(xg: jnp.ndarray, w_h: jnp.ndarray,
             pl.BlockSpec((1, b, h4), fm, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, hidden), xg.dtype),
             jax.ShapeDtypeStruct((t, b, hidden), jnp.bfloat16),
             jax.ShapeDtypeStruct((t, b, h4), jnp.bfloat16),
         ],
@@ -209,7 +213,7 @@ def _lstm_bwd_pallas(w_h, ys, cs, gates, dy, reverse: bool = False):
     # dW_h = sum_t h_{t-1}^T dgates_t — ONE big MXU matmul outside the kernel
     dwh = jnp.einsum("tbh,tbk->hk", ys_prev, dxg,
                      preferred_element_type=jnp.float32)
-    return dxg.astype(jnp.float32), dwh
+    return dxg, dwh
 
 
 import functools as _functools
@@ -230,7 +234,8 @@ def _make_recurrence(reverse: bool):
     def bwd(res, dy):
         w_h, ys, cs, gates = res
         dxg, dwh = _lstm_bwd_pallas(w_h, ys, cs, gates, dy, reverse)
-        return dxg, dwh.astype(w_h.dtype)
+        # cotangent dtype must match the primal xg (== the ys/dy dtype)
+        return dxg.astype(dy.dtype), dwh.astype(w_h.dtype)
 
     rec.defvjp(fwd, bwd)
     return rec
@@ -294,7 +299,7 @@ def _fwd_kernel_chunked(xg_ref, wh_ref, ys_ref, cs_ref, gates_ref,
         h = o * jnp.tanh(c)
         h_scr[...] = h
         c_scr[...] = c
-        ys_ref[0] = h
+        ys_ref[0] = h.astype(ys_ref.dtype)
         cs_ref[0] = c.astype(cs_ref.dtype)
         gates_ref[0] = gates.astype(gates_ref.dtype)
 
@@ -323,7 +328,7 @@ def _lstm_fwd_pallas_chunked(xg: jnp.ndarray, w_h: jnp.ndarray):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, hidden), xg.dtype),
             jax.ShapeDtypeStruct((t, b, hidden), jnp.bfloat16),
             jax.ShapeDtypeStruct((t, b, h4), jnp.bfloat16),
         ],
@@ -432,7 +437,8 @@ def _rec_fwd_chunked(xg, w_h):
 def _rec_bwd_chunked(res, dy):
     w_h, ys, cs, gates = res
     dxg, dwh = _lstm_bwd_pallas_chunked(w_h, ys, cs, gates, dy)
-    return dxg, dwh.astype(w_h.dtype)
+    # cotangent dtype must match the primal xg (== the ys/dy dtype)
+    return dxg.astype(dy.dtype), dwh.astype(w_h.dtype)
 
 
 lstm_recurrence_chunked.defvjp(_rec_fwd_chunked, _rec_bwd_chunked)
@@ -476,8 +482,8 @@ def _bi_fwd_kernel(xgf_ref, xgb_ref, whf_ref, whb_ref,
     cf_scr[...] = c_f
     hb_scr[...] = h_b
     cb_scr[...] = c_b
-    ysf_ref[0] = h_f
-    ysb_ref[0] = h_b
+    ysf_ref[0] = h_f.astype(ysf_ref.dtype)
+    ysb_ref[0] = h_b.astype(ysb_ref.dtype)
     csf_ref[0] = c_f.astype(csf_ref.dtype)
     csb_ref[0] = c_b.astype(csb_ref.dtype)
     gf_ref[0] = gates_f.astype(gf_ref.dtype)
@@ -511,8 +517,8 @@ def _bilstm_fwd_pallas(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
             pl.BlockSpec((1, b, h4), rm, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),   # ys_f
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),   # ys_b
+            jax.ShapeDtypeStruct((t, b, hidden), xg_f.dtype),    # ys_f
+            jax.ShapeDtypeStruct((t, b, hidden), xg_b.dtype),    # ys_b
             jax.ShapeDtypeStruct((t, b, hidden), jnp.bfloat16),  # cs_f
             jax.ShapeDtypeStruct((t, b, hidden), jnp.bfloat16),  # cs_b
             jax.ShapeDtypeStruct((t, b, h4), jnp.bfloat16),      # gates_f
@@ -612,8 +618,7 @@ def _bilstm_bwd_pallas(wh_f, wh_b, ys_f, ys_b, cs_f, cs_b, g_f, g_b,
                        preferred_element_type=jnp.float32)
     dwh_b = jnp.einsum("tbh,tbk->hk", ypb, dxg_b.astype(ypb.dtype),
                        preferred_element_type=jnp.float32)
-    return (dxg_f.astype(jnp.float32), dxg_b.astype(jnp.float32),
-            dwh_f, dwh_b)
+    return dxg_f, dxg_b, dwh_f, dwh_b
 
 
 @jax.custom_vjp
@@ -639,7 +644,9 @@ def _bi_rec_bwd(res, dys):
     dy_f, dy_b = dys
     dxg_f, dxg_b, dwh_f, dwh_b = _bilstm_bwd_pallas(
         wh_f, wh_b, ys_f, ys_b, cs_f, cs_b, g_f, g_b, dy_f, dy_b)
-    return dxg_f, dxg_b, dwh_f.astype(wh_f.dtype), dwh_b.astype(wh_b.dtype)
+    # cotangent dtypes must match the primal xg (== the ys/dy dtype)
+    return (dxg_f.astype(dy_f.dtype), dxg_b.astype(dy_b.dtype),
+            dwh_f.astype(wh_f.dtype), dwh_b.astype(wh_b.dtype))
 
 
 bilstm_recurrence.defvjp(_bi_rec_fwd, _bi_rec_bwd)

@@ -103,9 +103,14 @@ def lstm_layer_pallas(params, x: jnp.ndarray, reverse: bool = False,
     contiguous scan-major streams with no layout copies between layers."""
     from e2e_asr_pytorch_tpu.ops.pallas import lstm as PL
     eq = "tbd,dh->tbh" if time_major else "btd,dh->tbh"
-    xg_t = jnp.einsum(eq, x.astype(compute_dtype),
-                      params["w_x"].astype(compute_dtype),
-                      preferred_element_type=jnp.float32) + params["b"]
+    # xg is written (and the kernel's hidden stream emitted) in
+    # compute_dtype: f32 accumulation inside the matmul, but the (T,B,4H)
+    # stream itself — the largest HBM tensor of the layer — stays bf16 when
+    # training in bf16. The recurrence carry is f32 in VMEM either way.
+    xg_t = (jnp.einsum(eq, x.astype(compute_dtype),
+                       params["w_x"].astype(compute_dtype),
+                       preferred_element_type=jnp.float32)
+            + params["b"]).astype(compute_dtype)
     hidden = params["w_h"].shape[0]
     if PL._fits_vmem(hidden):
         # reversed scan handled inside the kernel via index maps — no flips
@@ -166,12 +171,14 @@ def bilstm_layer(params_fw, params_bw, x, compute_dtype=jnp.float32,
             # one direction's VPU gate math overlaps the other's MXU matmul
             eq = "tbd,dh->tbh" if time_major else "btd,dh->tbh"
             cd = compute_dtype
-            xg_f = jnp.einsum(eq, x.astype(cd), params_fw["w_x"].astype(cd),
-                              preferred_element_type=jnp.float32
-                              ) + params_fw["b"]
-            xg_b = jnp.einsum(eq, x.astype(cd), params_bw["w_x"].astype(cd),
-                              preferred_element_type=jnp.float32
-                              ) + params_bw["b"]
+            # gate streams in compute_dtype (f32 matmul accumulation): the
+            # two (T,B,4H) tensors are the layer's largest HBM writes/reads
+            xg_f = (jnp.einsum(eq, x.astype(cd), params_fw["w_x"].astype(cd),
+                               preferred_element_type=jnp.float32
+                               ) + params_fw["b"]).astype(cd)
+            xg_b = (jnp.einsum(eq, x.astype(cd), params_bw["w_x"].astype(cd),
+                               preferred_element_type=jnp.float32
+                               ) + params_bw["b"]).astype(cd)
             ys_f, ys_b = PL.bilstm_recurrence(xg_f, xg_b, params_fw["w_h"],
                                               params_bw["w_h"])
             y = jnp.concatenate([ys_f, ys_b], axis=-1)

@@ -211,3 +211,40 @@ def test_reverse_in_kernel_matches_flip():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_bf16_stream_dtypes_and_parity():
+    """bf16 gate streams: the kernel emits bf16 hidden states and bf16 xg
+    cotangents (dtype follows the caller's xg), and values stay within bf16
+    rounding of the f32-stream run — the recurrence carry is f32 either way."""
+    rng = np.random.default_rng(7)
+    t, b, h = 9, 2, 8
+    xg32 = jnp.asarray(rng.standard_normal((t, b, 4 * h)), jnp.float32)
+    w_h = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.3, jnp.float32)
+    xg16 = xg32.astype(jnp.bfloat16)
+
+    ys32 = PL.lstm_recurrence(xg32, w_h)
+    ys16 = PL.lstm_recurrence(xg16, w_h)
+    assert ys32.dtype == jnp.float32 and ys16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(ys16, np.float32),
+                               np.asarray(ys32), rtol=5e-2, atol=5e-2)
+
+    def loss16(xg):
+        return jnp.sum(PL.lstm_recurrence(xg, w_h) ** 2)
+
+    dxg = jax.grad(loss16)(xg16)
+    assert dxg.dtype == jnp.bfloat16
+    dxg32 = jax.grad(lambda xg: jnp.sum(PL.lstm_recurrence(xg, w_h) ** 2))(xg32)
+    np.testing.assert_allclose(np.asarray(dxg, np.float32),
+                               np.asarray(dxg32), rtol=2e-1, atol=2e-1)
+
+    # packed bidirectional: same contract
+    yf, yb = PL.bilstm_recurrence(xg16, xg16, w_h, w_h)
+    assert yf.dtype == jnp.bfloat16 and yb.dtype == jnp.bfloat16
+
+    def loss_bi(a, b_):
+        f, r = PL.bilstm_recurrence(a, b_, w_h, w_h)
+        return jnp.sum(f ** 2) + jnp.sum(r ** 2)
+
+    da, db = jax.grad(loss_bi, argnums=(0, 1))(xg16, xg16)
+    assert da.dtype == jnp.bfloat16 and db.dtype == jnp.bfloat16

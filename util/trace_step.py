@@ -123,6 +123,7 @@ def _report(trace_dir, top):
                 if "TPU" in n or "/device" in n.lower()}
     per_op = {}
     cnt = {}
+    meta = {}
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
@@ -133,6 +134,15 @@ def _report(trace_dir, top):
             continue
         per_op[nm] = per_op.get(nm, 0.0) + float(e.get("dur", 0.0))
         cnt[nm] = cnt.get(nm, 0) + 1
+        # keep one metadata sample per op: XLA attaches the originating
+        # source op / long name in the event args, which maps anonymous
+        # `fusion.NNNN` entries back to model code
+        if nm not in meta and isinstance(e.get("args"), dict):
+            a = e["args"]
+            hint = (a.get("long_name") or a.get("tf_op") or a.get("hlo_op")
+                    or a.get("source") or "")
+            if hint:
+                meta[nm] = str(hint)
     if not per_op:
         print("no device events; tracks:", sorted(names.values())[:20])
         return
@@ -141,8 +151,10 @@ def _report(trace_dir, top):
     print("total device op time: %.0f us (all traced steps)" % total)
     print("%10s %6s %6s %9s  %s" % ("us", "%", "calls", "us/call", "op"))
     for v, k in entries[:top]:
-        print("%10.0f %5.1f%% %6d %9.1f  %s" % (
-            v, 100 * v / total, cnt[k], v / cnt[k], k[:100]))
+        hint = meta.get(k, "")
+        print("%10.0f %5.1f%% %6d %9.1f  %s%s" % (
+            v, 100 * v / total, cnt[k], v / cnt[k], k[:100],
+            ("  <- " + hint[:120]) if hint else ""))
 
 
 if __name__ == "__main__":
