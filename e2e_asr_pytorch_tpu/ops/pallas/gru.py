@@ -49,7 +49,8 @@ def _fwd_kernel(xg_ref, wh_ref, bh_ref, ys_ref, hg_ref, h_scr):
     r, z, n = _gates(xg_ref[0], hg, hidden)
     h = (1.0 - z) * n + z * h_prev
     h_scr[...] = h
-    ys_ref[0] = h
+    # hidden stream in the caller's dtype (carry stays f32 in VMEM)
+    ys_ref[0] = h.astype(ys_ref.dtype)
     # streamed out (bf16) so the backward skips the recompute matmul; bf16
     # halves the HBM stash traffic and fwd->bwd residency
     hg_ref[0] = hg.astype(hg_ref.dtype)
@@ -79,7 +80,7 @@ def _bwd_kernel(xg_ref, wh_ref, hg_ref, ys_prev_ref, dy_ref,
 
     dxg = jnp.concatenate([dxr, dxz, dxn], axis=-1)
     dhg = jnp.concatenate([dxr, dxz, dxn * r], axis=-1)
-    dxg_ref[0] = dxg
+    dxg_ref[0] = dxg.astype(dxg_ref.dtype)   # cotangent in xg's dtype
     dhg_ref[0] = dhg
     dh_scr[...] = dh * z + jnp.dot(dhg.astype(wh_ref.dtype), wh_ref[...].T,
                                    preferred_element_type=jnp.float32)
@@ -104,7 +105,7 @@ def _fwd(xg, w_h, b_h, reverse: bool = False):
             pl.BlockSpec((1, b, h3), fm, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, hidden), xg.dtype),
             jax.ShapeDtypeStruct((t, b, h3), jnp.bfloat16),
         ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
@@ -140,7 +141,7 @@ def _bwd(xg, w_h, hgs, ys, dy, reverse: bool = False):
             pl.BlockSpec((1, b, h3), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, h3), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h3), xg.dtype),
             jax.ShapeDtypeStruct((t, b, h3), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],

@@ -45,7 +45,8 @@ def _fwd_kernel(xg_ref, wh_ref, mask_ref, ys_ref, hg_ref, h_scr):
     cand = jax.nn.relu(g[..., hidden:]) * mask_ref[...]
     h = z * h_prev + (1.0 - z) * cand
     h_scr[...] = h
-    ys_ref[0] = h
+    # hidden stream in the caller's dtype (carry stays f32 in VMEM)
+    ys_ref[0] = h.astype(ys_ref.dtype)
 
 
 def _bwd_kernel(xg_ref, wh_ref, mask_ref, hg_ref, ys_prev_ref, dy_ref,
@@ -70,7 +71,7 @@ def _bwd_kernel(xg_ref, wh_ref, mask_ref, hg_ref, ys_prev_ref, dy_ref,
     da = dcand * mask_ref[...] * (a > 0)
     dgz = dz * z * (1.0 - z)
     dxg = jnp.concatenate([dgz, da], axis=-1)
-    dxg_ref[0] = dxg
+    dxg_ref[0] = dxg.astype(dxg_ref.dtype)   # cotangent in xg's dtype
     dh_scr[...] = dh * z + jnp.dot(dxg.astype(wh_ref.dtype), wh_ref[...].T,
                                    preferred_element_type=jnp.float32)
 
@@ -94,7 +95,7 @@ def _fwd(xg, w_h, mask, reverse: bool = False):
             pl.BlockSpec((1, b, h2), fm, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, hidden), xg.dtype),
             jax.ShapeDtypeStruct((t, b, h2), jnp.bfloat16),
         ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
@@ -128,7 +129,7 @@ def _bwd(xg, w_h, mask, hgs, ys, dy, reverse: bool = False):
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, b, h2), rev, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, b, h2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, b, h2), xg.dtype),
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         compiler_params=_params(),
         interpret=INTERPRET,

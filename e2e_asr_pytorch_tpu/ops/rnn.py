@@ -309,9 +309,10 @@ def gru_layer_pallas(params, x: jnp.ndarray, reverse: bool = False,
     # NOTE: the '->bth' + swapaxes form (not '->tbh') — the CPU backend's
     # eager DotThunk cannot execute the transposed-output bf16 dot, and this
     # wrapper runs on CPU in interpret-mode tests (unlike the LSTM path).
-    xg = jnp.einsum("btd,dh->bth", x.astype(compute_dtype),
-                    params["w_x"].astype(compute_dtype),
-                    preferred_element_type=jnp.float32) + params["b_x"]
+    xg = (jnp.einsum("btd,dh->bth", x.astype(compute_dtype),
+                     params["w_x"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+          + params["b_x"]).astype(compute_dtype)
     # reversed scan handled inside the kernel via index maps (no flips)
     ys = gru_recurrence(jnp.swapaxes(xg, 0, 1), params["w_h"], params["b_h"],
                         reverse=reverse)
@@ -360,7 +361,8 @@ def ligru_layer(params, x, reverse: bool = False, dropout: float = 0.0,
     mean = jnp.mean(xg, axis=(0, 1), keepdims=True)
     var = jnp.var(xg, axis=(0, 1), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + bn_eps)
-    xg = xg * params["bn_scale"] + params["bn_bias"]
+    # BN stats in f32; the normalized stream is written in compute_dtype
+    xg = (xg * params["bn_scale"] + params["bn_bias"]).astype(compute_dtype)
     xg_t = jnp.swapaxes(xg, 0, 1)
 
     if train and dropout > 0.0 and rng is not None:
