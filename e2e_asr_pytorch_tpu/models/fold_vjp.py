@@ -70,9 +70,12 @@ def _attn_step(cfg: FoldCfg, q, prev_att, key, band, neg_bias, w_lp, w_e, b_e):
         loc = loc.reshape(b_, te, -1)
         locpre = jnp.dot(loc.astype(cd), w_lp.astype(cd),
                          preferred_element_type=jnp.float32)
-        loc_ctx = jnp.tanh(locpre)
-        e_in = jnp.tanh(key + q[:, None, :] + loc_ctx)
-        energy = (jnp.dot(e_in.astype(cd), w_e.astype(cd),
+        # the (B,Te,D) energy-MLP intermediates are the decode scan's
+        # biggest per-step tensors after the value table: keep them in
+        # compute_dtype (f32 matmul accumulation either side)
+        loc_ctx = jnp.tanh(locpre).astype(cd)
+        e_in = jnp.tanh(key + q[:, None, :].astype(cd) + loc_ctx)
+        energy = (jnp.dot(e_in, w_e.astype(cd),
                           preferred_element_type=jnp.float32) + b_e)[..., 0]
     energy = energy / cfg.temperature
     energy = jnp.where(neg_bias < 0, NEG_INF, energy)
@@ -228,23 +231,28 @@ def _vjp_bwd(cfg, res, cts):
         den = jnp.where(valid, den, 0.0) / cfg.temperature
 
         if is_loc:
-            # recompute the energy MLP intermediates of this step
+            # recompute the energy MLP intermediates of this step — in
+            # compute_dtype, mirroring the forward (the (B,Te,D) tensors
+            # here dominate the bwd scan's per-step HBM traffic)
             loc = jnp.einsum("bt,tz->bz", prev_att.astype(cd), band_cd,
                              preferred_element_type=jnp.float32)
             loc = loc.reshape(b, te, -1)
             locpre = jnp.dot(loc.astype(cd), w_lp.astype(cd),
                              preferred_element_type=jnp.float32)
-            loc_ctx = jnp.tanh(locpre)
-            e_in = jnp.tanh(key + q[:, None, :] + loc_ctx)
-            de_in = den[..., None] * w_e[None, None, :, 0]
-            dwe = jnp.einsum("btd,bt->d", e_in, den)[:, None]      # (D,1)
+            loc_ctx = jnp.tanh(locpre).astype(cd)
+            e_in = jnp.tanh(key + q[:, None, :].astype(cd) + loc_ctx)
+            den_cd = den.astype(cd)
+            de_in = den_cd[..., None] * w_e.astype(cd)[None, None, :, 0]
+            dwe = jnp.einsum("btd,bt->d", e_in, den_cd,
+                             preferred_element_type=jnp.float32)[:, None]
             dbe = jnp.sum(den, axis=(0, 1))[None]                  # (1,)
             de_pre = de_in * (1.0 - e_in * e_in)
-            dkey_acc = dkey_acc + de_pre
-            dq = jnp.sum(de_pre, axis=1)                           # (B,D)
+            dkey_acc = dkey_acc + de_pre           # f32 accumulator
+            dq = jnp.sum(de_pre, axis=1, dtype=jnp.float32)        # (B,D)
             dlocpre = de_pre * (1.0 - loc_ctx * loc_ctx)
-            dwlp = jnp.einsum("btk,btd->kd", loc, dlocpre)
-            dloc = jnp.dot(dlocpre.astype(cd), wlp_t,
+            dwlp = jnp.einsum("btk,btd->kd", loc.astype(cd), dlocpre,
+                              preferred_element_type=jnp.float32)
+            dloc = jnp.dot(dlocpre, wlp_t,
                            preferred_element_type=jnp.float32)     # (B,Te,Kn)
             dloc_flat = dloc.reshape(b, -1)                        # (B,Te*Kn)
             dprev_new = jnp.einsum("bz,tz->bt", dloc_flat.astype(cd), band_cd,
