@@ -194,9 +194,12 @@ def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
     emb_seq = jnp.concatenate([last_emb0[None], teacher_emb_t[:-1]], axis=0)
     w_emb = l1["w_x"][:emb_dim]
     w_ctx = l1["w_x"][emb_dim:]
-    xg_emb = jnp.einsum("tbe,eg->tbg", emb_seq.astype(compute_dtype),
-                        w_emb.astype(compute_dtype),
-                        preferred_element_type=jnp.float32) + l1["b"]
+    # the (L,B,4H) stream is written (and read by the decode scan) in
+    # compute_dtype; f32 accumulation inside the matmul
+    xg_emb = (jnp.einsum("tbe,eg->tbg", emb_seq.astype(compute_dtype),
+                         w_emb.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+              + l1["b"]).astype(compute_dtype)
     # Attention values in compute dtype: every decode step re-reads this
     # table from HBM (it cannot fit VMEM), so bf16 halves the scan's
     # dominant memory traffic. The context half of layer-1 w_x is applied

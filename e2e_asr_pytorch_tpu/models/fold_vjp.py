@@ -300,7 +300,7 @@ def _vjp_bwd(cfg, res, cts):
         return jnp.einsum("lbh,lbg->hg", inp_s.astype(cd), dg_s.astype(cd),
                           preferred_element_type=jnp.float32)
 
-    d_xg_emb = dgates1_s
+    d_xg_emb = dgates1_s.astype(cd)   # cotangent in xg_emb's dtype (== cd)
     d_w_ctx = jnp.einsum("lbd,lbg->dg", ctx_s.astype(cd),
                          dgates1_s.astype(cd),
                          preferred_element_type=jnp.float32)
