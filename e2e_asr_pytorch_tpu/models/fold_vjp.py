@@ -135,8 +135,12 @@ def _fwd_scan(cfg, xg_emb, values, w_ctx, key, band, neg_bias, prev0, h0, c0,
         c2n = f2 * c2 + i2 * g2
         h2n = o2 * jnp.tanh(c2n)
         new_prev = attn if cfg.mode == "loc" else prev_att
-        ys = (h2n, attn, h1n, c1n, c2n, gates1, gates2, q,
-              ctx.astype(cd))
+        # stack the per-step stashes (and the primal feats/attn outputs) in
+        # compute_dtype — the carries stay f32, and the backward upcasts at
+        # use. ~1 GB of f32 fwd->bwd residency halved at the flagship shape.
+        ys = (h2n.astype(cd), attn.astype(cd), h1n.astype(cd),
+              c1n.astype(cd), c2n.astype(cd), gates1.astype(cd),
+              gates2.astype(cd), q.astype(cd), ctx.astype(cd))
         return (h1n, c1n, h2n, c2n, new_prev), ys
 
     _, ys = jax.lax.scan(step, (h0[0], c0[0], h0[1], c0[1], prev0), xg_emb)
@@ -166,7 +170,7 @@ def _vjp_bwd(cfg, res, cts):
 
     # shifted stacks: state/attention seen at the START of each step
     def shifted(s, first):
-        return jnp.concatenate([first[None], s[:-1]], axis=0)
+        return jnp.concatenate([first[None].astype(s.dtype), s[:-1]], axis=0)
 
     h1_prev_s = shifted(h1_s, h0[0])
     h2_prev_s = shifted(h2_s, h0[1])
@@ -189,10 +193,10 @@ def _vjp_bwd(cfg, res, cts):
         (dfeat_t, dattn_out_t, attn, prev_att, h1_prev, h2_prev,
          c1_prev, c2_prev, c1, c2, gates1, gates2, q) = xs
 
-        # ---- LSTM layer 2 backward
+        # ---- LSTM layer 2 backward (activation recompute upcast to f32)
         dh2_tot = dh2 + dfeat_t
-        i2, f2, g2, o2 = _lstm_act(gates2, hidden)
-        tc2 = jnp.tanh(c2)
+        i2, f2, g2, o2 = _lstm_act(gates2.astype(jnp.float32), hidden)
+        tc2 = jnp.tanh(c2.astype(jnp.float32))
         do2 = dh2_tot * tc2
         dct2 = dc2 + dh2_tot * o2 * (1.0 - tc2 * tc2)
         dgates2 = jnp.concatenate([
@@ -206,8 +210,8 @@ def _vjp_bwd(cfg, res, cts):
 
         # ---- LSTM layer 1 backward
         dh1_tot = dh1 + dh1_from_x2
-        i1, f1, g1, o1 = _lstm_act(gates1, hidden)
-        tc1 = jnp.tanh(c1)
+        i1, f1, g1, o1 = _lstm_act(gates1.astype(jnp.float32), hidden)
+        tc1 = jnp.tanh(c1.astype(jnp.float32))
         do1 = dh1_tot * tc1
         dct1 = dc1 + dh1_tot * o1 * (1.0 - tc1 * tc1)
         dgates1 = jnp.concatenate([
@@ -268,7 +272,8 @@ def _vjp_bwd(cfg, res, cts):
             step_stack = den
 
         # query projection backward: q = tanh(query @ w_q + b_q)
-        dqpre = dq * (1.0 - q * q)
+        q32 = q.astype(jnp.float32)
+        dqpre = dq * (1.0 - q32 * q32)
         dquery = jnp.dot(dqpre.astype(cd), wq_t,
                          preferred_element_type=jnp.float32)       # (B,2H)
         dh1_prev = dh1_prev + dquery[:, :hidden]
@@ -276,8 +281,10 @@ def _vjp_bwd(cfg, res, cts):
 
         new_carry = (dh1_prev, dc1_prev, dh2_prev, dc2_prev, dprev_new,
                      dkey_acc, dwe_acc, dbe_acc, dwlp_acc)
-        return new_carry, (dgates1, dgates2, dqpre, step_stack,
-                           dctx.astype(cd))
+        # the big (L,B,4H)/(L,B,Te*Kn) stacks feed cd-input einsums and the
+        # cd xg_emb cotangent — stack them in cd (bias sums accumulate f32)
+        return new_carry, (dgates1.astype(cd), dgates2.astype(cd), dqpre,
+                           step_stack.astype(cd), dctx.astype(cd))
 
     d = q_s.shape[-1]
     zero_carry = (
@@ -313,7 +320,7 @@ def _vjp_bwd(cfg, res, cts):
     d_bq = jnp.sum(dqpre_s, axis=(0, 1))
     d_wh1 = wgrad(h1_prev_s, dgates1_s)
     d_wx2 = wgrad(h1_s, dgates2_s)
-    d_b2 = jnp.sum(dgates2_s, axis=(0, 1))
+    d_b2 = jnp.sum(dgates2_s, axis=(0, 1), dtype=jnp.float32)
     d_wh2 = wgrad(h2_prev_s, dgates2_s)
     if is_loc:
         d_key = dkey_acc.astype(key.dtype)
