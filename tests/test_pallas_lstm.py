@@ -248,3 +248,19 @@ def test_bf16_stream_dtypes_and_parity():
 
     da, db = jax.grad(loss_bi, argnums=(0, 1))(xg16, xg16)
     assert da.dtype == jnp.bfloat16 and db.dtype == jnp.bfloat16
+
+
+def test_bf16_stream_chunked():
+    rng = np.random.default_rng(8)
+    t, b, h = 7, 2, 32                       # 4H=128: one lane-aligned chunk
+    xg16 = jnp.asarray(rng.standard_normal((t, b, 4 * h)) * 0.3,
+                       jnp.float32).astype(jnp.bfloat16)
+    w_h = jnp.asarray(rng.standard_normal((h, 4 * h)) * 0.02, jnp.float32)
+    ys = PL.lstm_recurrence_chunked(xg16, w_h)
+    assert ys.dtype == jnp.bfloat16
+    ref = PL.lstm_recurrence(xg16, w_h)
+    np.testing.assert_allclose(np.asarray(ys, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=5e-2, atol=5e-2)
+    dxg = jax.grad(lambda x: jnp.sum(PL.lstm_recurrence_chunked(x, w_h) ** 2))(xg16)
+    assert dxg.dtype == jnp.bfloat16
