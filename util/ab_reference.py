@@ -263,6 +263,8 @@ def main():
     ap.add_argument("--max-tokens", type=int, default=20)
     ap.add_argument("--out", default=os.path.join(ROOT, "AB_REPORT.md"))
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore cached per-side results")
     args = ap.parse_args()
 
     import jax
@@ -272,8 +274,24 @@ def main():
     print("corpus: {} train batches x {} utts, {:.2f} h audio".format(
         len(batches), args.batch, total_sec / 3600), file=sys.stderr)
 
-    ours = run_ours(args, batches, dev, tok)
-    ref = (run_reference(args, batches, dev, tok)
+    # Each side takes hours on this 1-core host; persist per-side results so
+    # an interrupted run resumes instead of repeating the surviving side.
+    def _cached(name, fn):
+        path = os.path.join(ROOT, "log", "ab_{}_{}x{}_{}x{}.json".format(
+            name, args.steps, args.batch, args.dim, args.layers))
+        if not args.fresh and os.path.exists(path):
+            with open(path) as f:
+                print("loaded cached {} side from {}".format(name, path),
+                      file=sys.stderr)
+                return json.load(f)
+        res = fn(args, batches, dev, tok)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(res, f)
+        return res
+
+    ours = _cached("ours", run_ours)
+    ref = (_cached("ref", run_reference)
            if not args.skip_ref else None)
 
     def tail(xs, n=25):
