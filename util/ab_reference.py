@@ -18,6 +18,11 @@ separately golden-tested against torch.stft).
       [--out AB_REPORT.md]
 
 Writes AB_REPORT.md and prints one JSON verdict line.
+
+`--lm` instead A/Bs the RNNLM (reference: src/lm.py + bin/train_lm.py
+semantics) on an identical synthetic Markov-chain char corpus and compares
+training loss curves and dev perplexity — the reference's headline LM metric
+(BASELINE.md ppx 2.79 on real dev-clean). Writes AB_LM_REPORT.md.
 """
 
 import argparse
@@ -243,6 +248,246 @@ def run_ours(args, batches, dev, tok):
             "wall_s": time.time() - t0}
 
 
+# ------------------------------------------------------------------- LM A/B
+LM_DIM = 256
+LM_LAYERS = 2
+LM_LR = 1e-3
+
+
+def build_text_batches(args):
+    """Synthetic order-1 Markov char corpus -> identical fixed-shape (B,L)
+    id batches for both sides (ids in the librispeech char vocab; 0=pad
+    doubles as <sos> exactly like the reference, reference:
+    bin/train_lm.py:19). Markov structure makes perplexity a real test: the
+    model must learn per-symbol successor distributions, not just unigrams."""
+    rng = np.random.default_rng(17)
+    V = 31                       # char vocab: 28 symbols + pad/eos/unk
+    ids = np.arange(3, V)
+    trans = np.full((V, len(ids)), 1e-3)
+    for s in range(V):           # each symbol prefers 3 successors
+        fav = rng.choice(len(ids), size=3, replace=False)
+        trans[s, fav] = rng.dirichlet(np.ones(3)) + 0.2
+    trans /= trans.sum(1, keepdims=True)
+    L = args.max_tokens + 1      # every batch padded to ONE static shape
+
+    def sample_sent():
+        n = int(rng.integers(12, args.max_tokens))
+        out, s = [], int(rng.integers(3, V))
+        for _ in range(n):
+            s = int(ids[rng.choice(len(ids), p=trans[s])])
+            out.append(s)
+        return out + [1]         # <eos>
+
+    n_dev = DEV_UTTS * 4
+    sents = [sample_sent() for _ in range(args.batch * args.steps + n_dev)]
+
+    def to_batch(chunk):
+        a = np.zeros((len(chunk), L), np.int32)
+        for i, s in enumerate(chunk):
+            a[i, :len(s)] = s
+        return a
+
+    dev = [to_batch(sents[i:i + args.batch])
+           for i in range(0, n_dev, args.batch)]
+    tr = sents[n_dev:]
+    train = [to_batch(tr[i:i + args.batch])
+             for i in range(0, len(tr), args.batch)][:args.steps]
+    return train, dev, V
+
+
+def run_reference_lm(args, train, dev, V):
+    """The reference's own RNNLM + training semantics (reference:
+    src/lm.py:5-38, bin/train_lm.py:17-70): <sos>=0 prepended, CE with
+    ignore_index=0 on next-token targets, grad clip 5."""
+    import math
+    sys.path.insert(0, REF)
+    import torch
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+    from src.lm import RNNLM
+
+    model = RNNLM(V, emb_tying=True, emb_dim=LM_DIM, module="LSTM",
+                  dim=LM_DIM, n_layers=LM_LAYERS, dropout=0.0)
+    ce = torch.nn.CrossEntropyLoss(ignore_index=0)
+    opt = torch.optim.Adam(model.parameters(), lr=LM_LR, eps=1e-8)
+
+    def fetch(b):
+        data = torch.from_numpy(b).long()
+        txt = torch.cat((torch.zeros((data.shape[0], 1), dtype=torch.long),
+                         data), dim=1)
+        return txt, torch.sum(data != 0, dim=-1)
+
+    losses = []
+    t0 = time.time()
+    for step, b in enumerate(train):
+        txt, txt_len = fetch(b)
+        opt.zero_grad()
+        pred, _ = model(txt[:, :-1], txt_len)
+        # pad_packed trims to max(txt_len) < our fixed pad L; the trimmed
+        # target columns are all pad(0) = CE-ignored, so truncation is exact
+        tgt = txt[:, 1:1 + pred.shape[1]]
+        loss = ce(pred.reshape(-1, V), tgt.reshape(-1))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), GRAD_CLIP)
+        opt.step()
+        losses.append(float(loss.detach()))
+        if step % 20 == 0:
+            print("ref-lm step {} loss {:.3f} ({:.1f}s)".format(
+                step, losses[-1], time.time() - t0), file=sys.stderr)
+
+    model.eval()
+    tot_nll = tot_cnt = 0.0
+    with torch.no_grad():
+        for b in dev:
+            txt, txt_len = fetch(b)
+            pred, _ = model(txt[:, :-1], txt_len)
+            lp = torch.log_softmax(pred, -1)
+            tgt = txt[:, 1:]
+            # pad_packed may return fewer frames than L; pads are masked out
+            tgt = tgt[:, :lp.shape[1]]
+            nll = -lp.gather(2, tgt.unsqueeze(-1)).squeeze(-1)
+            mask = (tgt != 0).float()
+            tot_nll += float((nll * mask).sum())
+            tot_cnt += float(mask.sum())
+    return {"loss": losses, "dev_ppx": math.exp(tot_nll / tot_cnt),
+            "wall_s": time.time() - t0}
+
+
+def run_ours_lm(args, train, dev, V):
+    import math
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from e2e_asr_pytorch_tpu.models import lm as LM
+    from e2e_asr_pytorch_tpu.train import optim as O
+
+    spec = LM.build_spec(V, True, LM_DIM, "LSTM", LM_DIM, LM_LAYERS, 0.0)
+    params = LM.lm_init(jax.random.PRNGKey(0), spec)
+    tx, _ = O.build_optimizer(optimizer="Adam", lr=LM_LR, eps=1e-8,
+                              lr_scheduler="fixed", grad_clip=GRAD_CLIP)
+    opt_state = tx.init(params)
+
+    def shift(txt):
+        sos = jnp.zeros((txt.shape[0], 1), jnp.int32)
+        return jnp.concatenate([sos, txt[:, :-1]], 1)
+
+    def masked_nll(p, txt):
+        logits, _ = LM.lm_apply(p, spec, shift(txt))
+        lp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(lp, txt[:, :, None], 2)[:, :, 0]
+        mask = (txt != 0).astype(jnp.float32)
+        return jnp.sum(nll * mask), jnp.sum(mask)
+
+    @jax.jit
+    def step_fn(params, opt_state, txt):
+        def loss_fn(p):
+            s, c = masked_nll(p, txt)
+            return s / jnp.maximum(c, 1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    nll_fn = jax.jit(masked_nll)
+
+    losses = []
+    t0 = time.time()
+    for step, b in enumerate(train):
+        params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(b))
+        losses.append(float(loss))
+        if step % 20 == 0:
+            print("ours-lm step {} loss {:.3f} ({:.1f}s)".format(
+                step, losses[-1], time.time() - t0), file=sys.stderr)
+
+    tot_nll = tot_cnt = 0.0
+    for b in dev:
+        s, c = nll_fn(params, jnp.asarray(b))
+        tot_nll += float(s)
+        tot_cnt += float(c)
+    return {"loss": losses, "dev_ppx": math.exp(tot_nll / tot_cnt),
+            "wall_s": time.time() - t0}
+
+
+def main_lm(args):
+    train, dev, V = build_text_batches(args)
+    print("text corpus: {} train batches x {} sents".format(
+        len(train), args.batch), file=sys.stderr)
+
+    def _cached(name, fn):
+        path = os.path.join(ROOT, "log", "ab_lm_{}_{}x{}_{}x{}.json".format(
+            name, args.steps, args.batch, LM_DIM, LM_LAYERS))
+        if not args.fresh and os.path.exists(path):
+            with open(path) as f:
+                print("loaded cached {} side from {}".format(name, path),
+                      file=sys.stderr)
+                return json.load(f)
+        res = fn(args, train, dev, V)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(res, f)
+        return res
+
+    ours = _cached("ours", run_ours_lm)
+    ref = _cached("ref", run_reference_lm) if not args.skip_ref else None
+
+    def tail(xs, n=25):
+        return float(np.mean(xs[-n:]))
+
+    report = {
+        "arch": "{}x LSTM-{} tied-embedding RNNLM".format(LM_LAYERS, LM_DIM),
+        "steps": args.steps, "batch": args.batch,
+        "ours": {"loss_first25": tail(ours["loss"][:25]),
+                 "loss_last25": tail(ours["loss"]),
+                 "dev_ppx": round(ours["dev_ppx"], 4),
+                 "wall_s": round(ours["wall_s"], 1)},
+    }
+    ok = None
+    if ref is not None:
+        report["reference"] = {
+            "loss_first25": tail(ref["loss"][:25]),
+            "loss_last25": tail(ref["loss"]),
+            "dev_ppx": round(ref["dev_ppx"], 4),
+            "wall_s": round(ref["wall_s"], 1)}
+        ok = (report["ours"]["loss_last25"] < report["ours"]["loss_first25"]
+              and report["reference"]["loss_last25"]
+              < report["reference"]["loss_first25"]
+              and abs(ours["dev_ppx"] - ref["dev_ppx"])
+              / max(ref["dev_ppx"], 1e-6) < 0.15)
+        report["ok"] = bool(ok)
+
+    out = args.out
+    if out.endswith("AB_REPORT.md"):              # default -> LM report file
+        out = out.replace("AB_REPORT.md", "AB_LM_REPORT.md")
+    with open(out, "w") as f:
+        f.write("# A/B (LM): this framework vs the reference's own torch "
+                "RNNLM\n\nBoth sides: identical synthetic Markov-chain char "
+                "corpus, same arch/optimizer/loss ({}, Adam {}), {} steps, "
+                "independent inits. Dev perplexity is the reference's "
+                "headline LM metric (BASELINE.md: 2.79 on real "
+                "dev-clean).\n\n".format(report["arch"], LM_LR, args.steps))
+        f.write("| side | loss steps 1-25 | loss last 25 | dev ppx | wall |"
+                "\n|---|---|---|---|---|\n")
+        for name in ("ours", "reference"):
+            if name in report:
+                r = report[name]
+                f.write("| {} | {:.3f} | {:.3f} | {:.4f} | {:.0f}s |\n"
+                        .format(name, r["loss_first25"], r["loss_last25"],
+                                r["dev_ppx"], r["wall_s"]))
+        if ok is not None:
+            f.write("\nVerdict: **{}** (tolerances: both losses decrease, "
+                    "dev-ppx rel diff <15%; RNG/init differ across "
+                    "frameworks)\n".format("PASS" if ok else "FAIL"))
+        f.write("\nLoss curves (every 10th step):\n\n```\nstep  ours"
+                + ("  reference" if ref else "") + "\n")
+        for i in range(0, args.steps, 10):
+            f.write("{:4d}  {:.3f}".format(i, ours["loss"][i]))
+            if ref:
+                f.write("  {:.3f}".format(ref["loss"][i]))
+            f.write("\n")
+        f.write("```\n")
+    print(json.dumps(report))
+    return 0 if (ok is None or ok) else 1
+
+
 def _cer(tok, hyp_ids, ref_ids):
     from e2e_asr_pytorch_tpu.utils.metrics import cal_er
 
@@ -265,10 +510,15 @@ def main():
     ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore cached per-side results")
+    ap.add_argument("--lm", action="store_true",
+                    help="A/B the RNNLM (perplexity parity) instead of ASR")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_platforms", "cpu")   # apples-to-apples: CPU both
+
+    if args.lm:
+        return main_lm(args)
 
     tok, batches, dev, total_sec = build_batches(args)
     print("corpus: {} train batches x {} utts, {:.2f} h audio".format(
