@@ -177,18 +177,34 @@ def main():
               file=sys.stderr)
         return batch / med
 
-    results = [(b, measure(b)) for b in batches]
-    headline = results[0][1]
+    t_bench0 = time.time()
+    headline = measure(batches[0])
     if headline is None:
         print(json.dumps({"metric": "train_utts_per_sec_chip", "value": 0.0,
                           "unit": "utts/sec", "vs_baseline": 0.0}))
         return 1
+    # Emit the headline BEFORE the continuity batches: on a cold compile
+    # cache the extra ~5-min compile per batch can overrun the caller's
+    # window, and a kill mid-continuity must not lose the round's artifact.
     print(json.dumps({
         "metric": "train_utts_per_sec_chip",
         "value": round(headline, 3),
         "unit": "utts/sec",
         "vs_baseline": round(headline / BASELINE_UTTS_PER_SEC, 3),
     }))
+    sys.stdout.flush()
+    for b in batches[1:]:
+        # round-over-round continuity batches are best-effort: only when the
+        # headline came out of a warm cache (fast), and never fatal
+        if time.time() - t_bench0 > 300:
+            print("bench detail | continuity batch {} skipped "
+                  "(cold-cache time budget)".format(b), file=sys.stderr)
+            continue
+        try:
+            measure(b)
+        except Exception as e:
+            print("bench detail | continuity batch {} failed: {!r}".format(
+                b, e), file=sys.stderr)
     return 0
 
 
