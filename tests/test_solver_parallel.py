@@ -106,6 +106,44 @@ def test_asr_solver_tensor_parallel_matches_single(tmp_path):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_test_solver_decode_matches_single(tmp_path):
+    """Inference parallelism through the REAL test solver: batched beam
+    decode on the 8-device mesh writes the same hypothesis CSVs as on one
+    device (decode batches pad up to the data axis; mesh-padding rows must
+    not leak into the output files)."""
+    _train_asr(tmp_path, "dectr", n_devices=1)
+    from e2e_asr_pytorch_tpu.train.test_asr import Solver as TestSolver
+    ckpt = str(tmp_path / "ckpt" / "dectr" / "best_ctc_dev.pth")
+
+    def decode(tag, n_devices):
+        cfg = copy.deepcopy(TINY_ASR)
+        cfg["src"] = {"config": "unused", "ckpt": ckpt}
+        cfg["decode"] = {"beam_size": 3, "ctc_weight": 0.3,
+                         "min_len_ratio": 0.0, "max_len_ratio": 0.3,
+                         "lm_weight": 0.0}
+        cfg["data"]["corpus"]["test_split"] = ["test"]
+        ts = TestSolver(cfg, _paras(tmp_path, tag, n_devices=n_devices),
+                        "test")
+        ts.load_data()
+        ts.set_model()
+        ts.exec()
+        out = {}
+        for split in ("dev", "test"):
+            fs = [f for f in os.listdir(tmp_path / "out")
+                  if f.startswith(tag) and f.endswith(
+                      "_{}_output.csv".format(split))]
+            assert len(fs) == 1, fs
+            with open(tmp_path / "out" / fs[0]) as f:
+                out[split] = f.read()
+        return out
+
+    o8 = decode("dec8", None)
+    o1 = decode("dec1", 1)
+    for split in ("dev", "test"):
+        assert o8[split].splitlines()[0] == "idx\thyp\ttruth"
+        assert o8[split] == o1[split]
+
+
 def test_lm_solver_runs_on_mesh(tmp_path):
     """train_lm.Solver on the full mesh: finite loss, ckpt written."""
     from e2e_asr_pytorch_tpu.train.train_lm import Solver
