@@ -74,7 +74,10 @@ def main():
     seconds, label_len = 12.8, 144
     feat_cfg = FeatureConfig(feat_type="fbank", feat_dim=40, delta_order=2,
                              augment=True)
-    spec = M.build_spec(feat_cfg.out_dim, vocab, **_flagship_model_cfg(1.0))
+    model_cfg = _flagship_model_cfg(1.0)
+    if os.environ.get("BENCH_REMAT"):  # frontend+proj jax.checkpoint (b>=256)
+        model_cfg["encoder"]["remat"] = True
+    spec = M.build_spec(feat_cfg.out_dim, vocab, **model_cfg)
     # bf16 Adadelta accumulators: the update is pure HBM bandwidth; parity
     # test tests/test_train_infra.py::test_optim_state_dtype_bf16
     tx, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,

@@ -33,13 +33,14 @@ class EncoderSpec(NamedTuple):
     total_sample_rate: int
     layer_in_dims: Tuple[int, ...]
     layer_out_dims: Tuple[int, ...]  # rnn_out (pre-downsample) per layer
+    remat: bool = False              # jax.checkpoint frontend + projections
 
 
 def make_spec(input_size: int, vgg: int = 0, vgg_freq: int = -1,
               vgg_low_filt: int = -1, module: str = "LSTM",
               bidirection: bool = True, dim=(), dropout=(), layer_norm=(),
               proj=(), sample_rate=(), sample_style: str = "drop",
-              prenet: str = "") -> EncoderSpec:
+              prenet: str = "", remat: bool = False) -> EncoderSpec:
     # `prenet: 'vgg'` is the upstream parent repo's spelling carried by the
     # reference's config/libri examples (which its own Encoder cannot parse,
     # src/asr.py:393); we accept it as an alias for vgg code 1 so those
@@ -63,7 +64,7 @@ def make_spec(input_size: int, vgg: int = 0, vgg_freq: int = -1,
     return EncoderSpec(input_size, fe, module, bidirection, tuple(dim),
                        tuple(dropout), tuple(layer_norm), tuple(proj),
                        tuple(sample_rate), sample_style, d, total_sr,
-                       tuple(in_dims), tuple(out_dims))
+                       tuple(in_dims), tuple(out_dims), bool(remat))
 
 
 def encoder_init(key: jax.Array, spec: EncoderSpec) -> Dict:
@@ -157,7 +158,16 @@ def _rnn_layer_apply(p: Dict, spec: EncoderSpec, l: int, x: jnp.ndarray,
     # matmul and the attention/CTC heads all read it in compute_dtype anyway,
     # so a bf16 run never round-trips the (T,B,D) stream through f32)
     if spec.proj[l]:
-        y = jnp.tanh(R.linear(p["pj"], y, compute_dtype)).astype(compute_dtype)
+        pj = lambda pp, yy: jnp.tanh(
+            R.linear(pp, yy, compute_dtype)).astype(compute_dtype)
+        if spec.remat:
+            # large-batch memory mode: drop the (T,B,D) proj output from the
+            # residual set (the recurrence output yy is kept either way as
+            # the proj VJP's own residual) and recompute it in the backward
+            # pass — one extra matmul per layer buys a whole activation
+            # stream's worth of HBM at b>=256
+            pj = jax.checkpoint(pj)
+        y = pj(p["pj"], y)
     return y, x_len
 
 
@@ -176,8 +186,18 @@ def encoder_apply(params: Dict, spec: EncoderSpec, feat: jnp.ndarray,
         fe_params = params["frontend"]
         if -1 in fix_layers:  # frontend freeze
             fe_params = jax.tree.map(jax.lax.stop_gradient, fe_params)
-        x, x_len = F.frontend_apply(fe_params, spec.frontend, x, x_len,
-                                    compute_dtype)
+        fe_fn = lambda pp, xx, xl: F.frontend_apply(pp, spec.frontend, xx, xl,
+                                                    compute_dtype)
+        if spec.remat:
+            # large-batch memory mode (``encoder: remat: true``): the VGG
+            # stack's conv/LN/relu activations are the single biggest
+            # residual block of the whole train step (they live at the
+            # UN-downsampled frame rate — ~5 GB at batch 256 for the
+            # flagship). Recompute them in the backward pass instead: the
+            # frontend is <3% of the step's FLOPs, so this trades almost
+            # nothing for the headroom that admits the next batch doubling.
+            fe_fn = jax.checkpoint(fe_fn)
+        x, x_len = fe_fn(fe_params, x, x_len)
     layers = params["layers"]
     n = len(layers) if num_layers is None else min(num_layers, len(layers))
     # the LSTM stack runs TIME-MAJOR internally: one transpose in, one out.

@@ -61,6 +61,34 @@ def test_encoder_modules(module):
     assert bool(jnp.isfinite(y).all())
 
 
+def test_encoder_remat_parity():
+    # `encoder: remat: true` (jax.checkpoint on frontend + projections) must
+    # be a pure memory/compute trade: identical loss AND grads vs the
+    # default, under jit, with the VGG-LN frontend in the path
+    kwargs = dict(vgg=5, vgg_freq=-1, vgg_low_filt=-1, module="LSTM",
+                  bidirection=True, dim=[8, 8], dropout=[0.0, 0.0],
+                  layer_norm=[False, False], proj=[True, True],
+                  sample_rate=[1, 1], sample_style="drop")
+    spec0 = E.make_spec(120, **kwargs)
+    spec1 = E.make_spec(120, remat=True, **kwargs)
+    assert spec1.remat and not spec0.remat
+    params = E.encoder_init(jax.random.PRNGKey(0), spec0)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 16, 120)),
+                    jnp.float32)
+    xl = jnp.asarray([16, 12])
+
+    def loss(p, spec):
+        y, _ = E.encoder_apply(p, spec, x, xl, rng=jax.random.PRNGKey(2),
+                               train=True)
+        return jnp.sum(y ** 2)
+
+    l0, g0 = jax.jit(jax.value_and_grad(lambda p: loss(p, spec0)))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(lambda p: loss(p, spec1)))(params)
+    assert np.allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g0, g1)
+
+
 def test_encoder_concat_downsample():
     spec = E.make_spec(8, vgg=0, vgg_freq=-1, vgg_low_filt=-1, module="LSTM",
                        bidirection=False, dim=[4], dropout=[0.0],
