@@ -12,6 +12,7 @@ framework-version-stable and mmap-friendly.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -26,9 +27,9 @@ def _to_host(tree):
         jax.tree.map(lambda x: np.asarray(x), tree))
 
 
-def save_checkpoint(path: str, params, opt_state, step: int,
-                    metric_name: str = "", metric_value: float = 0.0,
-                    extra: Optional[Dict[str, Any]] = None) -> None:
+def _build_payload(params, opt_state, step: int, metric_name: str,
+                   metric_value: float,
+                   extra: Optional[Dict[str, Any]]) -> Dict[str, Any]:
     payload = {
         "model": _to_host(params),
         "optimizer": _to_host(opt_state),
@@ -38,9 +39,70 @@ def save_checkpoint(path: str, params, opt_state, step: int,
     }
     if extra:
         payload["extra"] = _to_host(extra)
+    return payload
+
+
+def _atomic_write(path: str, payload: Dict[str, Any]) -> None:
+    """Encode + write to a sibling tmp file, then os.replace — a crash (or a
+    killed writer thread) mid-write never corrupts an existing checkpoint at
+    `path` (the reference's torch.save writes in place, src/solver.py:188)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp.{}".format(os.getpid())
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
+
+
+def save_checkpoint(path: str, params, opt_state, step: int,
+                    metric_name: str = "", metric_value: float = 0.0,
+                    extra: Optional[Dict[str, Any]] = None) -> None:
+    _atomic_write(path, _build_payload(params, opt_state, step, metric_name,
+                                       metric_value, extra))
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint encoding + disk write with training.
+
+    ``save()`` snapshots the pytrees to host numpy synchronously — the device
+    buffers may be donated back into the very next train step, so the D2H
+    copy cannot be deferred — then hands the msgpack encode and file write
+    (the slow part: ~800 MB for the flagship model + Adadelta state) to one
+    background thread, and training continues immediately. At most one write
+    is in flight; a new save joins the previous one first, so checkpoints on
+    disk always appear in save order. Writes are atomic (see _atomic_write).
+    A worker failure is re-raised on the next save()/wait() — never swallowed
+    (same policy as data.batching.prefetch).
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+
+    def save(self, path: str, params, opt_state, step: int,
+             metric_name: str = "", metric_value: float = 0.0,
+             extra: Optional[Dict[str, Any]] = None) -> None:
+        self.wait()
+        payload = _build_payload(params, opt_state, step, metric_name,
+                                 metric_value, extra)
+
+        def _write():
+            try:
+                _atomic_write(path, payload)
+            except BaseException as e:  # surfaced by the consumer thread
+                self._err = e
+
+        self._thread = threading.Thread(target=_write, daemon=True,
+                                        name="ckpt-writer")
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Join any in-flight write and re-raise its failure, if any."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
 
 def load_checkpoint(path: str, params_template=None, opt_template=None):

@@ -156,16 +156,28 @@ class BaseSolver(abc.ABC):
     # ------------------------------------------------------------ chkpoint
     def save_checkpoint(self, fname: str, metric: str, score: float,
                         show_msg: bool = True, extra: Optional[Dict] = None):
+        # async: the host snapshot is taken here, the ~800 MB encode+write
+        # overlaps the next train steps (one writer, atomic os.replace) —
+        # the reference blocks training for the whole torch.save
+        # (src/solver.py:176-200)
         path = os.path.join(self.ckpdir, fname)
-        ckpt_lib.save_checkpoint(path, self.params, self.opt_state, self.step,
-                                 metric, score, extra)
+        if not hasattr(self, "_ckpt_writer"):
+            self._ckpt_writer = ckpt_lib.AsyncCheckpointWriter()
+        self._ckpt_writer.save(path, self.params, self.opt_state, self.step,
+                               metric, score, extra)
         if show_msg:
             self.verbose("Saved checkpoint (step = {}, {} = {:.2f}) and status @ {}"
                          .format(human_format(self.step), metric, score, path))
 
+    def ckpt_wait(self):
+        """Join any in-flight checkpoint write (call before exit/re-read)."""
+        if hasattr(self, "_ckpt_writer"):
+            self._ckpt_writer.wait()
+
     def load_ckpt(self, params_template=None, opt_template=None):
         """Load model/optimizer/step from --load (training resume) or from
         config['src']['ckpt'] (testing)."""
+        self.ckpt_wait()
         load_path = self.paras.load if self.mode == "train" else \
             self.config["src"]["ckpt"]
         if not load_path:

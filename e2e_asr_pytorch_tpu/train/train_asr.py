@@ -321,6 +321,7 @@ class Solver(BaseSolver):
                     break
             self.n_epochs += 1
 
+        self.ckpt_wait()
         self.log.close()
         self.verbose("Finished training after {} steps.".format(
             human_format(self.max_step)))

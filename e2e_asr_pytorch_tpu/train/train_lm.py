@@ -127,6 +127,7 @@ class Solver(BaseSolver):
                 if self.step > self.max_step:
                     break
 
+        self.ckpt_wait()
         self.log.close()
         self.verbose("Finished training after {} steps.".format(
             human_format(self.max_step)))

@@ -176,3 +176,32 @@ def test_optim_state_dtype_bf16():
         p16 = optax.apply_updates(p16, u16)
     np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_async_checkpoint_writer(tmp_path):
+    from e2e_asr_pytorch_tpu.train import checkpoint as C
+    w = C.AsyncCheckpointWriter()
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    opt = {"acc": jnp.zeros((2, 3))}
+    p1 = str(tmp_path / "a" / "best.pth")
+    # two back-to-back saves to the same path: ordered, last wins
+    w.save(p1, params, opt, 1, "cer", 0.5)
+    w.save(p1, jax.tree.map(lambda x: x + 1, params), opt, 2, "cer", 0.4)
+    w.wait()
+    ck = C.load_checkpoint(p1, params, opt)
+    assert ck["global_step"] == 2 and ck["metric_value"] == 0.4
+    np.testing.assert_allclose(np.asarray(ck["model"]["w"]),
+                               np.asarray(params["w"]) + 1)
+    # no stray tmp files after the atomic replace
+    assert [f for f in (tmp_path / "a").iterdir()] == [tmp_path / "a" / "best.pth"]
+
+    # a worker failure must re-raise on wait(), not vanish with the thread
+    bad = str(tmp_path / "dir_target")
+    (tmp_path / "dir_target").mkdir()
+    w.save(bad, params, opt, 3)  # os.replace onto a directory fails
+    with pytest.raises(OSError):
+        w.wait()
+    # and the writer is reusable afterwards
+    w.save(p1, params, opt, 4)
+    w.wait()
+    assert C.load_checkpoint(p1)["global_step"] == 4
