@@ -62,13 +62,15 @@ def test_encoder_modules(module):
 
 
 def test_encoder_remat_parity():
-    # `encoder: remat: true` (jax.checkpoint on frontend + projections) must
-    # be a pure memory/compute trade: identical loss AND grads vs the
-    # default, under jit, with the VGG-LN frontend in the path
+    # `encoder: remat: true` (jax.checkpoint on the frontend and on each
+    # layer's post-recurrence LN+dropout+downsample+proj block) must be a
+    # pure memory/compute trade: identical loss AND grads vs the default,
+    # under jit, with the VGG-LN frontend in the path. dropout>0 checks the
+    # mask regenerates bit-identically from its key in the bwd recompute.
     kwargs = dict(vgg=5, vgg_freq=-1, vgg_low_filt=-1, module="LSTM",
-                  bidirection=True, dim=[8, 8], dropout=[0.0, 0.0],
-                  layer_norm=[False, False], proj=[True, True],
-                  sample_rate=[1, 1], sample_style="drop")
+                  bidirection=True, dim=[8, 8], dropout=[0.5, 0.0],
+                  layer_norm=[True, False], proj=[True, True],
+                  sample_rate=[1, 2], sample_style="drop")
     spec0 = E.make_spec(120, **kwargs)
     spec1 = E.make_spec(120, remat=True, **kwargs)
     assert spec1.remat and not spec0.remat
