@@ -13,8 +13,12 @@ weight-load bound, which batch amortizes) — measured ladder on v5e:
 b32 166 utts/s (MFU 31.6%), b64 172 (32.8%), b128 202 (40.4%). The
 headline number is batch 128 (the chip's best operating point); batch 32
 is also measured every run for round-over-round continuity (stderr
-detail lines carry both). b256 exceeds HBM (~1.6 GB over, even with
-XLA auto-remat).
+detail lines carry both). The ladder's endpoints are measured, not
+assumed: b160 with the encoder remat knob reaches only 180 utts/s
+(MFU 39.0% — the remat's ~7% extra FLOPs/utt plus sub-linear scaling net
+out negative) and b192 still OOMs by ~0.5 GB with it, so batches past
+128 lose on this 16 GB chip (NOTES_NEXT_ROUND.md has the liveness
+analysis).
 
 Baseline: the reference repo publishes no throughput numbers (README only has
 WER) and no GPU is available here to measure it, so the vs_baseline
