@@ -195,11 +195,14 @@ def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
     w_emb = l1["w_x"][:emb_dim]
     w_ctx = l1["w_x"][emb_dim:]
     # the (L,B,4H) stream is written (and read by the decode scan) in
-    # compute_dtype; f32 accumulation inside the matmul
+    # compute_dtype; f32 accumulation inside the matmul. Emitted in
+    # compute_dtype directly so the backward cotangent of the stream stays
+    # bf16 into the dW_emb matmul (an f32 emission + cast would convert it
+    # back to f32 in the VJP)
     xg_emb = (jnp.einsum("tbe,eg->tbg", emb_seq.astype(compute_dtype),
                          w_emb.astype(compute_dtype),
-                         preferred_element_type=jnp.float32)
-              + l1["b"]).astype(compute_dtype)
+                         preferred_element_type=compute_dtype)
+              + l1["b"].astype(compute_dtype))
     # Attention values in compute dtype: every decode step re-reads this
     # table from HBM (it cannot fit VMEM), so bf16 halves the scan's
     # dominant memory traffic. The context half of layer-1 w_x is applied

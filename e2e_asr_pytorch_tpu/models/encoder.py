@@ -91,6 +91,14 @@ def encoder_init(key: jax.Array, spec: EncoderSpec) -> Dict:
     return params
 
 
+def _layer_norm(lnp: Dict, y: jnp.ndarray) -> jnp.ndarray:
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.var(yf, axis=-1, keepdims=True)
+    yn = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (yn * lnp["scale"] + lnp["bias"]).astype(y.dtype)
+
+
 def _rnn_layer_apply(p: Dict, spec: EncoderSpec, l: int, x: jnp.ndarray,
                      x_len: jnp.ndarray, rng: Optional[jax.Array],
                      train: bool, compute_dtype, time_major: bool = False):
@@ -124,12 +132,17 @@ def _rnn_layer_apply(p: Dict, spec: EncoderSpec, l: int, x: jnp.ndarray,
         else:
             y, _ = R.ligru_layer(p["fw"], x, **kw)
 
-    # layer norm
+    # layer norm — statistics in f32 (a 2560-wide bf16 accumulation loses
+    # mantissa), but the emitted stream stays in the recurrence's dtype:
+    # multiplying by the f32 scale/bias would silently promote the whole
+    # (T,B,D) stream AND its backward cotangent to f32 (2x the HBM traffic
+    # of every consumer between here and the projection in a bf16 run).
+    # checkpointed so the f32 normalized tensor (the natural residual for
+    # d_scale) is recomputed in the backward fusion instead of stashed —
+    # the only kept residual is the recurrence output, which the proj VJP
+    # keeps anyway; the recompute is one reduce+elementwise pass, no matmul
     if spec.layer_norm[l]:
-        mean = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.var(y, axis=-1, keepdims=True)
-        y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
-        y = y * p["ln"]["scale"] + p["ln"]["bias"]
+        y = jax.checkpoint(_layer_norm)(p["ln"], y)
 
     # dropout (liGRU applies its own recurrent dropout)
     if train and spec.dropout[l] > 0 and spec.module != "liGRU" and rng is not None:
@@ -158,8 +171,12 @@ def _rnn_layer_apply(p: Dict, spec: EncoderSpec, l: int, x: jnp.ndarray,
     # matmul and the attention/CTC heads all read it in compute_dtype anyway,
     # so a bf16 run never round-trips the (T,B,D) stream through f32)
     if spec.proj[l]:
+        # out_dtype=compute_dtype: emitting f32 + casting after tanh would
+        # round-trip the (T,B,D) backward cotangent through f32 (2x-wide
+        # reads in the proj dW/dx matmuls — the round-3 trace's unexplained
+        # f32[T,B,2560] backward stream)
         pj = lambda pp, yy: jnp.tanh(
-            R.linear(pp, yy, compute_dtype)).astype(compute_dtype)
+            R.linear(pp, yy, compute_dtype, out_dtype=compute_dtype))
         if spec.remat:
             # large-batch memory mode: drop the (T,B,D) proj output from the
             # residual set (the recurrence output yy is kept either way as

@@ -283,8 +283,9 @@ def _vjp_bwd(cfg, res, cts):
                      dkey_acc, dwe_acc, dbe_acc, dwlp_acc)
         # the big (L,B,4H)/(L,B,Te*Kn) stacks feed cd-input einsums and the
         # cd xg_emb cotangent — stack them in cd (bias sums accumulate f32)
-        return new_carry, (dgates1.astype(cd), dgates2.astype(cd), dqpre,
-                           step_stack.astype(cd), dctx.astype(cd))
+        return new_carry, (dgates1.astype(cd), dgates2.astype(cd),
+                           dqpre.astype(cd), step_stack.astype(cd),
+                           dctx.astype(cd))
 
     d = q_s.shape[-1]
     zero_carry = (
@@ -317,7 +318,7 @@ def _vjp_bwd(cfg, res, cts):
                           ).astype(values.dtype)
     query_s = jnp.concatenate([h1_prev_s, h2_prev_s], axis=-1)
     d_wq = wgrad(query_s, dqpre_s)
-    d_bq = jnp.sum(dqpre_s, axis=(0, 1))
+    d_bq = jnp.sum(dqpre_s, axis=(0, 1), dtype=jnp.float32)
     d_wh1 = wgrad(h1_prev_s, dgates1_s)
     d_wx2 = wgrad(h1_s, dgates2_s)
     d_b2 = jnp.sum(dgates2_s, axis=(0, 1), dtype=jnp.float32)

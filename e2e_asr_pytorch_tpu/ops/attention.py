@@ -93,10 +93,15 @@ def precompute(params: Dict, cfg: AttnConfig, enc_feat: jnp.ndarray,
                enc_len: jnp.ndarray, compute_dtype=jnp.float32) -> Dict:
     """Project keys/values once per utterance. enc_feat: (B,T,De)."""
     b, t, _ = enc_feat.shape
-    k = jnp.tanh(linear(params["proj_k"], enc_feat, compute_dtype))
+    # key/value tables are re-read from HBM every decode step: emit them in
+    # compute_dtype from the projection itself so both the per-step reads
+    # and the backward cotangent stay bf16 (no f32 round-trip at the cast)
+    k = jnp.tanh(linear(params["proj_k"], enc_feat, compute_dtype,
+                        out_dtype=compute_dtype))
     k = k.reshape(b, t, cfg.num_head, cfg.dim)                    # B,T,N,D
     if cfg.v_proj:
-        v = jnp.tanh(linear(params["proj_v"], enc_feat, compute_dtype))
+        v = jnp.tanh(linear(params["proj_v"], enc_feat, compute_dtype,
+                            out_dtype=compute_dtype))
         v = v.reshape(b, t, cfg.num_head, cfg.v_dim)
     else:
         v = jnp.repeat(enc_feat[:, :, None, :], cfg.num_head, axis=2)

@@ -32,6 +32,8 @@ backends.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -655,10 +657,13 @@ bilstm_recurrence.defvjp(_bi_rec_fwd, _bi_rec_bwd)
 def pallas_available(hidden: int) -> bool:
     """Use a pallas path on TPU: the resident kernel when w_h fits VMEM,
     the gate-chunked kernel for larger lane-aligned hidden sizes."""
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        on_tpu = False
+    if os.environ.get("E2E_ASR_PALLAS") == "force":
+        on_tpu = True  # trace the TPU program shape off-chip (dtype audit)
+    else:
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
     return on_tpu and (_fits_vmem(hidden) or _chunkable(hidden))
 
 

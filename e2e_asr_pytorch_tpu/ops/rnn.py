@@ -41,11 +41,19 @@ def espnet_linear_init(key, in_dim: int, out_dim: int, bias: bool = True):
     return p
 
 
-def linear(params, x, compute_dtype=jnp.float32):
+def linear(params, x, compute_dtype=jnp.float32, out_dtype=jnp.float32):
+    """x @ w + b with f32 MXU accumulation; emitted in ``out_dtype``.
+
+    out_dtype matters in a bf16 run: emitting f32 and casting in the caller
+    makes the cast's VJP convert the incoming bf16 cotangent back to f32, so
+    the backward dW/dx matmuls read the whole activation-sized cotangent
+    stream at twice the width. Callers on the hot path pass
+    out_dtype=compute_dtype; heads that feed softmax/log-softmax keep the
+    f32 default for numerics."""
     y = jnp.dot(x.astype(compute_dtype), params["w"].astype(compute_dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=out_dtype)
     if "b" in params:
-        y = y + params["b"]
+        y = y + params["b"].astype(out_dtype)
     return y
 
 
@@ -107,10 +115,13 @@ def lstm_layer_pallas(params, x: jnp.ndarray, reverse: bool = False,
     # compute_dtype: f32 accumulation inside the matmul, but the (T,B,4H)
     # stream itself — the largest HBM tensor of the layer — stays bf16 when
     # training in bf16. The recurrence carry is f32 in VMEM either way.
+    # emitted directly in compute_dtype (MXU still accumulates f32): an f32
+    # emission + downstream cast would make the cast's VJP convert the bwd
+    # cotangent back to f32, doubling the dW_x/dx matmuls' stream reads
     xg_t = (jnp.einsum(eq, x.astype(compute_dtype),
                        params["w_x"].astype(compute_dtype),
-                       preferred_element_type=jnp.float32)
-            + params["b"]).astype(compute_dtype)
+                       preferred_element_type=compute_dtype)
+            + params["b"].astype(compute_dtype))
     hidden = params["w_h"].shape[0]
     if PL._fits_vmem(hidden):
         # reversed scan handled inside the kernel via index maps — no flips
@@ -172,13 +183,16 @@ def bilstm_layer(params_fw, params_bw, x, compute_dtype=jnp.float32,
             eq = "tbd,dh->tbh" if time_major else "btd,dh->tbh"
             cd = compute_dtype
             # gate streams in compute_dtype (f32 matmul accumulation): the
-            # two (T,B,4H) tensors are the layer's largest HBM writes/reads
+            # two (T,B,4H) tensors are the layer's largest HBM writes/reads.
+            # Emitted in cd from the matmul itself — an f32 emission + cast
+            # would round-trip the backward cotangent through f32, doubling
+            # the dW_x/dx einsums' stream reads (measured ~2%/step at b128)
             xg_f = (jnp.einsum(eq, x.astype(cd), params_fw["w_x"].astype(cd),
-                               preferred_element_type=jnp.float32
-                               ) + params_fw["b"]).astype(cd)
+                               preferred_element_type=cd
+                               ) + params_fw["b"].astype(cd))
             xg_b = (jnp.einsum(eq, x.astype(cd), params_bw["w_x"].astype(cd),
-                               preferred_element_type=jnp.float32
-                               ) + params_bw["b"]).astype(cd)
+                               preferred_element_type=cd
+                               ) + params_bw["b"].astype(cd))
             ys_f, ys_b = PL.bilstm_recurrence(xg_f, xg_b, params_fw["w_h"],
                                               params_bw["w_h"])
             y = jnp.concatenate([ys_f, ys_b], axis=-1)
@@ -283,10 +297,13 @@ def _use_pallas_ligru(hidden: int) -> bool:
     if os.environ.get("E2E_ASR_PALLAS", "1") == "0":
         return False
     from e2e_asr_pytorch_tpu.ops.pallas.ligru import ligru_fits_vmem
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        on_tpu = False
+    if os.environ.get("E2E_ASR_PALLAS") == "force":
+        on_tpu = True  # trace the TPU program shape off-chip (dtype audit)
+    else:
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
     return on_tpu and ligru_fits_vmem(hidden)
 
 
@@ -295,10 +312,13 @@ def _use_pallas_gru(hidden: int) -> bool:
     if os.environ.get("E2E_ASR_PALLAS", "1") == "0":
         return False
     from e2e_asr_pytorch_tpu.ops.pallas.gru import gru_fits_vmem
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        on_tpu = False
+    if os.environ.get("E2E_ASR_PALLAS") == "force":
+        on_tpu = True  # trace the TPU program shape off-chip (dtype audit)
+    else:
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
     return on_tpu and gru_fits_vmem(hidden)
 
 

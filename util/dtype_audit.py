@@ -1,0 +1,215 @@
+"""Static dtype audit of the flagship train step: find silent f32 promotions.
+
+A bf16 training run only pays off if the big batch-carrying streams actually
+stay bf16 — one multiply by an f32 parameter silently promotes a whole
+(T,B,D) activation stream AND its backward cotangent to f32 (2x HBM traffic
+for every consumer).  The round-3 on-chip trace caught exactly one of these
+(the encoder LayerNorm scale/bias); this tool finds the whole class WITHOUT
+chip access by walking the jaxpr of the full train step (forward + VJP +
+optimizer update — make_jaxpr only traces, nothing compiles or executes):
+
+  python util/dtype_audit.py                 # full flagship shapes
+  python util/dtype_audit.py --scale 0.1     # fast structural audit
+
+Flag rule: a tensor is reported when it
+  * is f32/f64,
+  * carries the batch dimension (the audit uses a distinctive batch size so
+    membership is an unambiguous shape test),
+  * has a trailing dim >= --min-width (so intentionally-f32 narrow streams —
+    CTC log-probs over 31 chars, LN statistics, per-utt losses — pass), and
+  * is materialized at that width: an f32 OPERAND of a dot_general / conv /
+    gather / pallas_call is read from memory as f32, and f32 scan/while
+    inputs/outputs are buffers allocated at the stated dtype.  dot_general /
+    conv OUTPUTS are exempt even when f32: XLA fuses the downstream cast into
+    the matmul epilogue, so `preferred_element_type=f32` accumulation with a
+    bf16 consumer is free.  Fusion-local f32 upcasts (e.g. LN statistics math
+    between two bf16 casts) never touch HBM and are likewise not reported.
+
+Role in the reference: none — the reference trains f32 end-to-end (apex AMP
+O1 is opt-in and unaudited, reference src/solver.py:202-208).  This is
+TPU-build-only infrastructure guarding the bf16 compute path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# primitives whose OPERANDS are read from memory at the stated dtype
+OPERAND_MATERIALIZING = {
+    "dot_general", "conv_general_dilated", "pallas_call", "sort", "gather",
+    "dynamic_slice", "dynamic_update_slice",
+}
+# primitives whose inputs AND outputs are materialized buffers (loop-carried
+# or stacked streams allocated at the stated dtype)
+BUFFER_MATERIALIZING = {"scan", "while", "pallas_call"}
+
+
+def _sub_jaxprs(params):
+    """Yield every Jaxpr reachable from an eqn's params dict."""
+    from jax.extend import core as jcore
+
+    def walk(v):
+        if isinstance(v, jcore.ClosedJaxpr):
+            yield v.jaxpr
+        elif isinstance(v, jcore.Jaxpr):
+            yield v
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                yield from walk(x)
+        elif isinstance(v, dict):
+            for x in v.values():
+                yield from walk(x)
+
+    for v in params.values():
+        yield from walk(v)
+
+
+def audit_jaxpr(jaxpr, batch: int, min_width: int = 256):
+    """Walk ``jaxpr`` recursively; return wide f32 batch-carrying findings.
+
+    Each finding: dict(shape, dtype, mbytes, primitive, role, source).
+    Deduplicated per (source line, shape, primitive) with a count.
+    """
+    import numpy as np
+    from jax._src import source_info_util
+    from jax.extend import core as jcore
+
+    found = {}
+    seen_vars = set()
+
+    def consider(var, eqn, role):
+        if isinstance(var, jcore.Literal):
+            return
+        aval = var.aval
+        dtype = getattr(aval, "dtype", None)
+        shape = getattr(aval, "shape", None)
+        if dtype is None or shape is None or len(shape) < 2:
+            return
+        if not (np.issubdtype(dtype, np.floating) and dtype.itemsize >= 4):
+            return
+        if batch not in shape or shape[-1] < min_width:
+            return
+        vid = (id(var), role)
+        if vid in seen_vars:
+            return
+        seen_vars.add(vid)
+        src = source_info_util.summarize(eqn.source_info)
+        key = (src, tuple(shape), str(dtype), eqn.primitive.name, role)
+        if key in found:
+            found[key]["count"] += 1
+        else:
+            found[key] = {
+                "shape": tuple(shape), "dtype": str(dtype),
+                "mbytes": round(int(np.prod(shape)) * dtype.itemsize / 2**20, 2),
+                "primitive": eqn.primitive.name, "role": role,
+                "source": src, "count": 1,
+            }
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            name = eqn.primitive.name
+            if name in OPERAND_MATERIALIZING or name in BUFFER_MATERIALIZING:
+                for v in eqn.invars:
+                    consider(v, eqn, "operand")
+            if name in BUFFER_MATERIALIZING:
+                for v in eqn.outvars:
+                    consider(v, eqn, "output")
+            for sub in _sub_jaxprs(eqn.params):
+                walk(sub)
+
+    walk(jaxpr)
+    return sorted(found.values(), key=lambda f: -f["mbytes"])
+
+
+def flagship_step_jaxpr(scale: float = 1.0, batch: int = 7,
+                        seconds: float = 12.8, label_len: int = 144,
+                        vocab: int = 31):
+    """make_jaxpr of the full bf16 train step (same structure as bench.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship_model_cfg
+    from e2e_asr_pytorch_tpu.models import asr as M
+    from e2e_asr_pytorch_tpu.ops import ctc as ctc_ops
+    from e2e_asr_pytorch_tpu.ops import losses as L
+    from e2e_asr_pytorch_tpu.ops.audio import FeatureConfig, extract_features
+    from e2e_asr_pytorch_tpu.ops.specaugment import spec_augment
+    from e2e_asr_pytorch_tpu.train import optim as O
+
+    feat_cfg = FeatureConfig(feat_type="fbank", feat_dim=40, delta_order=2,
+                             augment=True)
+    spec = M.build_spec(feat_cfg.out_dim, vocab, **_flagship_model_cfg(scale))
+    params = jax.eval_shape(lambda k: M.asr_init(k, spec),
+                            jax.random.PRNGKey(0))
+    tx, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,
+                              lr_scheduler="fixed")
+    opt_state = jax.eval_shape(tx.init, params)
+
+    n = int(seconds * 16000)
+    wav = jax.ShapeDtypeStruct((batch, n), jnp.float32)
+    wav_len = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    txt = jax.ShapeDtypeStruct((batch, label_len), jnp.int32)
+    txt_len = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    key = jax.eval_shape(jax.random.PRNGKey, 0)
+
+    def full_step(params, opt_state, wav, wav_len, txt, txt_len, rng):
+        r_aug, r_fwd = jax.random.split(rng)
+        feat, feat_len = extract_features(feat_cfg, wav, wav_len)
+        feat = spec_augment(feat, feat_len, r_aug)
+
+        def loss_fn(p):
+            ctc_out, enc_len, att_out, _, _ = M.asr_apply(
+                p, spec, feat, feat_len, label_len, tf_rate=1.0, teacher=txt,
+                rng=r_fwd, train=True, sample_free=True,
+                compute_dtype=jnp.bfloat16)
+            l_ctc = ctc_ops.ctc_loss(ctc_out, enc_len, txt, txt_len)
+            l_att = L.label_smoothing_loss(att_out, txt, vocab, 0.1)
+            return spec.ctc_weight * l_ctc + (1 - spec.ctc_weight) * l_att
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    closed = jax.make_jaxpr(full_step)(params, opt_state, wav, wav_len, txt,
+                                       txt_len, key)
+    return closed.jaxpr
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--batch", type=int, default=7,
+                    help="distinctive batch size for shape-membership tests")
+    ap.add_argument("--seconds", type=float, default=12.8)
+    ap.add_argument("--label-len", type=int, default=144)
+    ap.add_argument("--min-width", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    jaxpr = flagship_step_jaxpr(args.scale, args.batch, args.seconds,
+                                args.label_len)
+    findings = audit_jaxpr(jaxpr, args.batch, args.min_width)
+    if not findings:
+        print("OK: no wide f32 batch-carrying streams reach a materializing "
+              "primitive (batch={}, min_width={})".format(
+                  args.batch, args.min_width))
+        return 0
+    print("{} wide f32 batch-carrying stream(s) at materializing "
+          "primitives:".format(len(findings)))
+    for f in findings:
+        print("  {mbytes:>9.2f} MB  {dtype}{shape}  x{count}  "
+              "{primitive}/{role}  {source}".format(**f))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
