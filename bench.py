@@ -10,15 +10,18 @@ this bucket to fit GPU memory (src/collect_batch.py:21-24). On this chip
 the step fits HBM up to batch 128, and per-utterance cost improves
 monotonically with batch (the decode scan and recurrence are latency/
 weight-load bound, which batch amortizes) — measured ladder on v5e:
-b32 166 utts/s (MFU 31.6%), b64 172 (32.8%), b128 202 (40.4%). The
-headline number is batch 128 (the chip's best operating point); batch 32
-is also measured every run for round-over-round continuity (stderr
+b32 166 utts/s (MFU 31.6%), b64 172 (32.8%), b128 202 (40.4%); after the
+bf16-cotangent fixes (util/dtype_audit.py) b128 = 223 utts/s (MFU 42.6%).
+The headline number is batch 128 (the chip's best operating point); batch
+32 is also measured every run for round-over-round continuity (stderr
 detail lines carry both). The ladder's endpoints are measured, not
 assumed: b160 with the encoder remat knob reaches only 180 utts/s
 (MFU 39.0% — the remat's ~7% extra FLOPs/utt plus sub-linear scaling net
-out negative) and b192 still OOMs by ~0.5 GB with it, so batches past
+out negative) and b192 still OOMs with it (405 MB short post-dtype-fixes;
+3.99 GB short without remat, VGG temps dominating), so batches past
 128 lose on this 16 GB chip (NOTES_NEXT_ROUND.md has the liveness
-analysis).
+analysis — the structural floor is the ten 600 MB bf16 (T,B,4H) gate
+stashes, which are peak-neutral to remat).
 
 Baseline: the reference repo publishes no throughput numbers (README only has
 WER) and no GPU is available here to measure it, so the vs_baseline

@@ -1,0 +1,56 @@
+"""Regression guard for the bf16 compute path: no silent f32 promotions.
+
+Walks the jaxpr of the full flagship train step (forward + VJP + Adadelta
+update) with the TPU pallas program shape forced, and asserts every wide f32
+batch-carrying stream at a materializing primitive is on the intentional
+allowlist (audio front-end numerics, CTC log-semiring, the decoder-fold f32
+accumulator carries).  A new finding means somebody reintroduced an f32
+emission/cast on a hot stream — exactly the class of regressions the round-3
+on-chip trace caught as ~2%/step of pure extra HBM traffic.
+
+Role in the reference: none (it trains f32 end-to-end); TPU-build-only.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# every file here holds ONLY intentional f32 streams (see util/dtype_audit.py
+# docstring); findings are keyed by source file so line churn doesn't break it
+ALLOWED_FILES = {
+    "ops/audio.py",        # STFT / mel / log front-end stays f32 (numerics)
+    "ops/ctc.py",          # log-semiring forward scores
+    "models/fold_vjp.py",  # f32 d_key/d_emb accumulators + small carries
+    "models/asr.py",       # f32 attention-location carry in the decode scan
+}
+# within the allowed files, nothing wider than this should appear (catches a
+# future bulk f32 stash sneaking into an allowed file): widest intentional is
+# the (B, T, 1025) STFT window matmul operand
+MAX_ALLOWED_MBYTES_SCALE01 = 40.0
+
+
+@pytest.mark.slow
+def test_flagship_bf16_step_has_no_unintended_f32_streams(monkeypatch):
+    monkeypatch.setenv("E2E_ASR_PALLAS", "force")  # audit the TPU shape
+    from util.dtype_audit import audit_jaxpr, flagship_step_jaxpr
+
+    jaxpr = flagship_step_jaxpr(scale=0.1, batch=7)
+    findings = audit_jaxpr(jaxpr, batch=7, min_width=256)
+    assert findings, "audit should at least flag the intentional f32 streams"
+
+    bad = []
+    for f in findings:
+        rel = f["source"].split("e2e_asr_pytorch_tpu/")[-1].split(" ")[0]
+        rel = rel.split(":")[0]
+        if rel not in ALLOWED_FILES:
+            bad.append(f)
+        elif f["mbytes"] > MAX_ALLOWED_MBYTES_SCALE01:
+            bad.append(f)
+    assert not bad, (
+        "unintended wide f32 batch-carrying stream(s) in the bf16 train "
+        "step:\n" + "\n".join(
+            "  {mbytes} MB {dtype}{shape} {primitive}/{role} {source}".format(
+                **f) for f in bad))
