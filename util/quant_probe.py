@@ -1,0 +1,77 @@
+"""Numerics probe: int8 attention value table vs bf16 (round-4 perf lever).
+
+The b128 train-step trace shows the decode scan's fwd context reduction and
+bwd d_attn reduction each stream the raw bf16 (B,T,2560) value table per
+decode step at ~89% of HBM peak (~82 ms/step combined) — the last large
+non-MXU-bound block. An int8 table with per-(b,t) scales would halve that
+traffic, but only if the quantization noise is comparable to the bf16
+rounding already accepted on this path. This probe measures exactly that,
+CPU-only, with realistic statistics:
+
+  * values: tanh-squashed encoder-projection outputs (the flagship runs
+    proj=[true]*5, so the table is tanh-bounded),
+  * attention: peaky softmax rows (loc attention concentrates on a few
+    frames once trained) AND diffuse rows (early training),
+  * both directions: context = attn @ v   and   d_attn = d_ctx @ v^T.
+
+Role in the reference: none (the reference streams f32 everywhere,
+src/decode.py:65-183 runs on CPU numpy). TPU-build-only planning tool.
+
+  python util/quant_probe.py
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def quantize_rows(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-(b,t) symmetric int8: scale rows by max-abs/127."""
+    scale = np.abs(v).max(axis=-1, keepdims=True) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.round(v / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def rel_err(x: np.ndarray, ref: np.ndarray) -> float:
+    return float(np.linalg.norm(x - ref) / np.linalg.norm(ref))
+
+
+def main():
+    rng = np.random.default_rng(0)
+    b, t, d = 16, 320, 2560
+    # tanh-squashed projection outputs: pre-activations ~ N(0, 1.2)
+    v32 = np.tanh(rng.normal(0.0, 1.2, size=(b, t, d))).astype(np.float32)
+    vbf = v32.astype(np.dtype("bfloat16") if hasattr(np, "bfloat16") else np.float32)
+    try:
+        import ml_dtypes
+        vbf = v32.astype(ml_dtypes.bfloat16).astype(np.float32)
+    except ImportError:
+        vbf = v32.astype(np.float16).astype(np.float32)  # pessimistic stand-in
+    q, scale = quantize_rows(v32)
+    vq = q.astype(np.float32) * scale
+
+    for name, peak in [("diffuse (early training)", 1.0),
+                       ("peaky (trained loc-att)", 40.0)]:
+        logits = rng.normal(0.0, peak, size=(b, t)).astype(np.float32)
+        attn = np.exp(logits - logits.max(-1, keepdims=True))
+        attn /= attn.sum(-1, keepdims=True)
+        ctx_ref = np.einsum("bt,btd->bd", attn, v32)
+        ctx_bf = np.einsum("bt,btd->bd", attn, vbf)
+        ctx_q = np.einsum("bt,btd->bd", attn, vq)
+        # bwd: d_attn = d_ctx @ v^T with a unit-scale cotangent
+        dctx = rng.normal(0.0, 1.0, size=(b, d)).astype(np.float32)
+        datt_ref = np.einsum("bd,btd->bt", dctx, v32)
+        datt_bf = np.einsum("bd,btd->bt", dctx, vbf)
+        datt_q = np.einsum("bd,btd->bt", dctx, vq)
+        print(f"{name}:")
+        print(f"  context  rel-err  bf16={rel_err(ctx_bf, ctx_ref):.2e}  "
+              f"int8={rel_err(ctx_q, ctx_ref):.2e}  "
+              f"ratio={rel_err(ctx_q, ctx_ref)/max(rel_err(ctx_bf, ctx_ref),1e-12):.1f}x")
+        print(f"  d_attn   rel-err  bf16={rel_err(datt_bf, datt_ref):.2e}  "
+              f"int8={rel_err(datt_q, datt_ref):.2e}  "
+              f"ratio={rel_err(datt_q, datt_ref)/max(rel_err(datt_bf, datt_ref),1e-12):.1f}x")
+
+
+if __name__ == "__main__":
+    main()
