@@ -658,7 +658,10 @@ def pallas_available(hidden: int) -> bool:
     """Use a pallas path on TPU: the resident kernel when w_h fits VMEM,
     the gate-chunked kernel for larger lane-aligned hidden sizes."""
     if os.environ.get("E2E_ASR_PALLAS") == "force":
-        on_tpu = True  # trace the TPU program shape off-chip (dtype audit)
+        # TRACING ONLY (make_jaxpr-style, e.g. util/dtype_audit.py): forces
+        # the TPU program shape off-chip. Never set it for real CPU/GPU
+        # execution — the pallas kernels would fail at lowering/compile.
+        on_tpu = True
     else:
         try:
             on_tpu = jax.devices()[0].platform == "tpu"

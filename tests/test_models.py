@@ -62,11 +62,12 @@ def test_encoder_modules(module):
 
 
 def test_encoder_remat_parity():
-    # `encoder: remat: true` (jax.checkpoint on the frontend and on each
-    # layer's post-recurrence LN+dropout+downsample+proj block) must be a
-    # pure memory/compute trade: identical loss AND grads vs the default,
-    # under jit, with the VGG-LN frontend in the path. dropout>0 checks the
-    # mask regenerates bit-identically from its key in the bwd recompute.
+    # `encoder: remat: true` (jax.checkpoint on the frontend and on the
+    # proj block; LN is always checkpointed) must be a pure memory/compute
+    # trade: identical loss AND grads vs the default, under jit, with the
+    # VGG-LN frontend in the path. dropout sits BETWEEN the checkpointed LN
+    # and proj blocks, so its mask is saved as a residual (not regenerated
+    # in the bwd recompute); dropout>0 here checks that stays grad-exact.
     kwargs = dict(vgg=5, vgg_freq=-1, vgg_low_filt=-1, module="LSTM",
                   bidirection=True, dim=[8, 8], dropout=[0.5, 0.0],
                   layer_norm=[True, False], proj=[True, True],

@@ -74,6 +74,12 @@ def audit_jaxpr(jaxpr, batch: int, min_width: int = 256):
 
     Each finding: dict(shape, dtype, mbytes, primitive, role, source).
     Deduplicated per (source line, shape, primitive) with a count.
+
+    Known blind spot: the ``batch in shape`` test only catches streams that
+    carry the batch dim literally — an f32 stream reshaped to (B*T, D)
+    before its materializing op evades the audit. Acceptable for this
+    codebase (the hot streams keep B as a leading axis), but don't rely on
+    it for flattened layouts.
     """
     import numpy as np
     from jax._src import source_info_util
@@ -94,7 +100,9 @@ def audit_jaxpr(jaxpr, batch: int, min_width: int = 256):
             return
         if batch not in shape or shape[-1] < min_width:
             return
-        vid = (id(var), role)
+        # dedup per-EQN (not globally): the same f32 var read as an operand
+        # by two different materializing eqns is two real HBM streams
+        vid = (id(eqn), id(var), role)
         if vid in seen_vars:
             return
         seen_vars.add(vid)

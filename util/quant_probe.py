@@ -42,7 +42,6 @@ def main():
     b, t, d = 16, 320, 2560
     # tanh-squashed projection outputs: pre-activations ~ N(0, 1.2)
     v32 = np.tanh(rng.normal(0.0, 1.2, size=(b, t, d))).astype(np.float32)
-    vbf = v32.astype(np.dtype("bfloat16") if hasattr(np, "bfloat16") else np.float32)
     try:
         import ml_dtypes
         vbf = v32.astype(ml_dtypes.bfloat16).astype(np.float32)
