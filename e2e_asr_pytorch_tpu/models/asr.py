@@ -46,6 +46,13 @@ class ASRSpec(NamedTuple):
     attention: Optional[A.AttnConfig]
     decoder: Optional[DecoderSpec]
     emb_drop: float = 0.0
+    # decode-scan attention value-table storage: 'bf16' (stream the
+    # compute-dtype table) or 'int8' (per-(b,t)-scaled int8 + Pallas dequant
+    # reductions, ops/pallas/int8_table.py — halves the scan's dominant HBM
+    # stream; numerics A/B-gated, see AB_REPORT_INT8.md)
+    value_table: str = "bf16"
+    # probe: bf16 d_key accumulator in the decoder backward scan
+    dkey_bf16: bool = False
 
     @property
     def enable_ctc(self) -> bool:
@@ -58,9 +65,11 @@ class ASRSpec(NamedTuple):
 
 def build_spec(input_size: int, vocab_size: int, ctc_weight: float,
                encoder: Dict, attention: Dict, decoder: Dict,
-               emb_drop: float = 0.0, init_adadelta: bool = True) -> ASRSpec:
+               emb_drop: float = 0.0, init_adadelta: bool = True,
+               value_table: str = "bf16", dkey_bf16: bool = False) -> ASRSpec:
     """Construct the static model spec from the YAML ``model:`` block."""
     assert 0 <= ctc_weight <= 1
+    assert value_table in ("bf16", "int8")
     enc = E.make_spec(input_size, **encoder)
     attn_cfg = None
     dec = None
@@ -80,7 +89,7 @@ def build_spec(input_size: int, vocab_size: int, ctc_weight: float,
             loc_kernel_size=attention.get("loc_kernel_size", 100),
             loc_kernel_num=attention.get("loc_kernel_num", 10))
     return ASRSpec(input_size, vocab_size, ctc_weight, enc, attn_cfg, dec,
-                   emb_drop)
+                   emb_drop, value_table, dkey_bf16)
 
 
 def asr_init(key: jax.Array, spec: ASRSpec) -> Dict:
@@ -223,7 +232,7 @@ def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
         ap = params["attention"]
         is_loc = spec.attention.mode == "loc"
         cfg = FV.FoldCfg(spec.attention.mode, spec.attention.temperature,
-                         compute_dtype)
+                         compute_dtype, spec.value_table, spec.dkey_bf16)
         feats_t, attn_s = FV.folded_decoder(
             cfg, xg_emb,
             values, w_ctx, cache["key"][:, :, 0, :].astype(compute_dtype),

@@ -39,6 +39,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from e2e_asr_pytorch_tpu.ops.pallas import int8_table as Q8
+
 NEG_INF = -1e30
 
 
@@ -46,6 +48,16 @@ class FoldCfg(NamedTuple):
     mode: str           # 'loc' | 'dot'
     temperature: float
     compute_dtype: jnp.dtype
+    # 'bf16' streams the raw compute-dtype value table; 'int8' quantizes it
+    # once per call (per-(b,t) symmetric scales) and runs both per-step table
+    # reductions through the Pallas dequant kernels (ops/pallas/int8_table.py)
+    # — halves the decode scan's dominant HBM stream. Numerics gated by the
+    # A/B harness (AB_REPORT_INT8.md) and util/quant_probe.py.
+    value_table: str = "bf16"
+    # probe flag: keep the bwd scan's (B,Te,D) d_key accumulator in bf16
+    # (halves its read-modify-write traffic; adds ~sqrt(L)*2^-8 relative
+    # accumulation noise — A/B-gated)
+    dkey_bf16: bool = False
 
 
 def _lstm_act(gates, hidden):
@@ -109,6 +121,16 @@ def _fwd_scan(cfg, xg_emb, values, w_ctx, key, band, neg_bias, prev0, h0, c0,
     cd = cfg.compute_dtype
     hidden = w_h1.shape[0]
     w_ctx_cd = w_ctx.astype(cd)
+    use_int8 = cfg.value_table == "int8"
+    d_enc = values.shape[-1]
+    if use_int8:
+        # quantize ONCE per call (one streaming pass); the scan then re-reads
+        # the int8 table per step — half the bytes of the bf16 table, with
+        # the i8->bf16 widening fused into the Pallas reduction so it runs at
+        # full VPU width (XLA's own int8 reduction is convert-bound; see
+        # ops/pallas/int8_table.py and NOTES "int8 value-table probe")
+        q_tab, v_scale = Q8.quantize_table(values)
+        q_tab = Q8.pad_table(q_tab)
 
     def step(carry, xg_emb_t):
         h1, c1, h2, c2, prev_att = carry
@@ -118,8 +140,11 @@ def _fwd_scan(cfg, xg_emb, values, w_ctx, key, band, neg_bias, prev0, h0, c0,
         q = jnp.tanh(qpre)
         attn = _attn_step(cfg, q, prev_att, key, band, neg_bias,
                           w_lp, w_e, b_e)
-        ctx = jnp.einsum("bt,btd->bd", attn.astype(cd), values.astype(cd),
-                         preferred_element_type=jnp.float32)
+        if use_int8:
+            ctx = Q8.context_int8(attn * v_scale, q_tab)[:, :d_enc]
+        else:
+            ctx = jnp.einsum("bt,btd->bd", attn.astype(cd), values.astype(cd),
+                             preferred_element_type=jnp.float32)
         ctxg = jnp.dot(ctx.astype(cd), w_ctx_cd,
                        preferred_element_type=jnp.float32)
         gates1 = xg_emb_t + ctxg + jnp.dot(h1.astype(cd), w_h1.astype(cd),
@@ -145,8 +170,14 @@ def _fwd_scan(cfg, xg_emb, values, w_ctx, key, band, neg_bias, prev0, h0, c0,
 
     _, ys = jax.lax.scan(step, (h0[0], c0[0], h0[1], c0[1], prev0), xg_emb)
     feats, attn_s, h1_s, c1_s, c2_s, gates1_s, gates2_s, q_s, ctx_s = ys
+    # the backward scan only needs the table for its per-step d_attn
+    # reduction — in int8 mode stash the quantized table (+ a 0-size dtype
+    # token for the cotangent's dtype), NOT the bf16 values: the residual and
+    # the bwd stream both halve
+    table = ((q_tab, v_scale, jnp.zeros((0,), values.dtype)) if use_int8
+             else values)
     res = (attn_s, h1_s, feats, c1_s, c2_s, gates1_s, gates2_s, q_s, ctx_s,
-           values, w_ctx, key, band, neg_bias, prev0, h0, c0,
+           table, w_ctx, key, band, neg_bias, prev0, h0, c0,
            w_q, w_lp, w_e, w_h1, w_x2, w_h2)
     return (feats, attn_s), res
 
@@ -159,7 +190,7 @@ def _vjp_fwd(cfg, xg_emb, values, w_ctx, key, band, neg_bias, prev0, h0, c0,
 
 def _vjp_bwd(cfg, res, cts):
     (attn_s, h1_s, h2_s, c1_s, c2_s, gates1_s, gates2_s, q_s, ctx_s,
-     values, w_ctx, key, band, neg_bias, prev0, h0, c0,
+     table, w_ctx, key, band, neg_bias, prev0, h0, c0,
      w_q, w_lp, w_e, w_h1, w_x2, w_h2) = res
     dfeats, dattn_out = cts
     cd = cfg.compute_dtype
@@ -167,6 +198,12 @@ def _vjp_bwd(cfg, res, cts):
     te = attn_s.shape[-1]
     is_loc = cfg.mode == "loc"
     valid = neg_bias >= 0                                          # (B,Te)
+    use_int8 = cfg.value_table == "int8"
+    if use_int8:
+        q_tab, v_scale, v_tok = table
+        v_dtype = v_tok.dtype
+    else:
+        values, v_dtype = table, table.dtype
 
     # shifted stacks: state/attention seen at the START of each step
     def shifted(s, first):
@@ -224,9 +261,13 @@ def _vjp_bwd(cfg, res, cts):
         # ---- attention backward (dgates1 is also d(ctxg) and d(xg_emb_t))
         dctx = jnp.dot(dgates1.astype(cd), wctx_t,
                        preferred_element_type=jnp.float32)          # (B,De)
-        dattn = jnp.einsum("bd,btd->bt", dctx.astype(cd),
-                           values.astype(cd),
-                           preferred_element_type=jnp.float32)
+        if use_int8:
+            # exact linearity: d_attn = (dctx . Q) * scale
+            dattn = Q8.dattn_int8(dctx, q_tab)[:, :te] * v_scale
+        else:
+            dattn = jnp.einsum("bd,btd->bt", dctx.astype(cd),
+                               values.astype(cd),
+                               preferred_element_type=jnp.float32)
         dattn = dattn + dattn_out_t
         if is_loc:
             dattn = dattn + dprev      # step t+1 read attn as its prev_att
@@ -251,7 +292,10 @@ def _vjp_bwd(cfg, res, cts):
                              preferred_element_type=jnp.float32)[:, None]
             dbe = jnp.sum(den, axis=(0, 1))[None]                  # (1,)
             de_pre = de_in * (1.0 - e_in * e_in)
-            dkey_acc = dkey_acc + de_pre           # f32 accumulator
+            # the one in-loop (B,Te,D) accumulator this VJP can't avoid
+            # (tanh makes d_key non-factorable, NOTES "dkey_acc RMW");
+            # dtype set by cfg.dkey_bf16 (f32 default, bf16 probe)
+            dkey_acc = dkey_acc + de_pre.astype(dkey_acc.dtype)
             dq = jnp.sum(de_pre, axis=1, dtype=jnp.float32)        # (B,D)
             dlocpre = de_pre * (1.0 - loc_ctx * loc_ctx)
             dwlp = jnp.einsum("btk,btd->kd", loc.astype(cd), dlocpre,
@@ -292,7 +336,8 @@ def _vjp_bwd(cfg, res, cts):
         jnp.zeros((b, hidden), jnp.float32), jnp.zeros((b, hidden), jnp.float32),
         jnp.zeros((b, hidden), jnp.float32), jnp.zeros((b, hidden), jnp.float32),
         jnp.zeros((b, te), jnp.float32),
-        jnp.zeros((b, te, d), jnp.float32),
+        jnp.zeros((b, te, d),
+                  jnp.bfloat16 if cfg.dkey_bf16 else jnp.float32),
         jnp.zeros((d, 1), jnp.float32), jnp.zeros((1,), jnp.float32),
         jnp.zeros((w_lp.shape[0] if is_loc else 1, d), jnp.float32),
     )
@@ -312,10 +357,12 @@ def _vjp_bwd(cfg, res, cts):
     d_w_ctx = jnp.einsum("lbd,lbg->dg", ctx_s.astype(cd),
                          dgates1_s.astype(cd),
                          preferred_element_type=jnp.float32)
+    # gradient w.r.t. the VALUES: whole-sequence einsum, straight-through in
+    # int8 mode (exact for the dequantized table — ctx is linear in values)
     d_values = jnp.einsum("lbt,lbd->btd", attn_s.astype(cd),
                           dctx_s.astype(cd),
                           preferred_element_type=jnp.float32
-                          ).astype(values.dtype)
+                          ).astype(v_dtype)
     query_s = jnp.concatenate([h1_prev_s, h2_prev_s], axis=-1)
     d_wq = wgrad(query_s, dqpre_s)
     d_bq = jnp.sum(dqpre_s, axis=(0, 1), dtype=jnp.float32)

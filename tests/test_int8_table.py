@@ -1,0 +1,138 @@
+"""int8 attention value-table (ops/pallas/int8_table.py + the fold_vjp
+wiring): kernel parity in Pallas interpret mode, quantization error bounds,
+and full-model fwd/grad closeness of value_table='int8' vs 'bf16'.
+
+The numerics contract is the round-3 probe's (util/quant_probe.py): per-(b,t)
+symmetric int8 adds ~2.4x the bf16 rounding already accepted on this path.
+"""
+
+import functools
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from e2e_asr_pytorch_tpu.models import asr as M
+from e2e_asr_pytorch_tpu.ops.pallas import int8_table as Q8
+
+
+def _table(b=3, t=17, d=50, seed=0):
+    rng = np.random.default_rng(seed)
+    # tanh-bounded, like the flagship's value table (the tanh-Linear encoder
+    # projection output, models/encoder.py)
+    v = np.tanh(rng.normal(0.0, 1.2, size=(b, t, d))).astype(np.float32)
+    return jnp.asarray(v)
+
+
+def test_quantize_roundtrip_error():
+    v = _table()
+    q, scale = Q8.quantize_table(v)
+    assert q.dtype == jnp.int8 and scale.shape == v.shape[:2]
+    deq = Q8.dequantize_table(q, scale, jnp.float32)
+    rel = float(jnp.linalg.norm(deq - v) / jnp.linalg.norm(v))
+    assert rel < 5e-3          # max-abs/127 symmetric: ~1/(127*sqrt(3)) rms
+
+
+def test_pad_table_alignment_and_zero_fill():
+    v = _table(b=2, t=17, d=50)
+    q, _ = Q8.quantize_table(v)
+    qp = Q8.pad_table(q)
+    assert qp.shape == (8, 32, 128)          # B -> kernel 8-row blocks
+    np.testing.assert_array_equal(np.asarray(qp[2:]), 0)
+    np.testing.assert_array_equal(np.asarray(qp[:, 17:, :]), 0)
+    np.testing.assert_array_equal(np.asarray(qp[:, :, 50:]), 0)
+    assert Q8.pad_table(qp) is qp          # idempotent, no copy
+
+
+@pytest.mark.parametrize("padded", [False, True])
+def test_kernels_interpret_match_ref(monkeypatch, padded):
+    """Pallas kernels (interpret mode) == the jnp reference numerics, with
+    both a raw and a pre-padded table."""
+    monkeypatch.setattr(Q8, "INTERPRET", True)
+    v = _table(b=4, t=17, d=50, seed=1)
+    q, scale = Q8.quantize_table(v)
+    if padded:
+        q = Q8.pad_table(q)
+    rng = np.random.default_rng(2)
+    attn = jax.nn.softmax(jnp.asarray(
+        rng.normal(size=(4, 17)), jnp.float32), axis=-1)
+    dctx = jnp.asarray(rng.normal(size=(4, 50)), jnp.float32)
+
+    ctx = Q8.context_int8(attn * scale, q)
+    ctx_ref = Q8.context_int8_ref(attn * scale, q)
+    np.testing.assert_allclose(np.asarray(ctx[:, :50]),
+                               np.asarray(ctx_ref[:, :50]),
+                               rtol=2e-2, atol=1e-4)
+    # and against the exact f32 dequantized contraction
+    exact = jnp.einsum("bt,btd->bd", attn,
+                       Q8.dequantize_table(*Q8.quantize_table(v), jnp.float32))
+    np.testing.assert_allclose(np.asarray(ctx[:, :50]), np.asarray(exact),
+                               rtol=3e-2, atol=2e-3)
+
+    da = Q8.dattn_int8(dctx, q)
+    da_ref = Q8.dattn_int8_ref(dctx, q)
+    np.testing.assert_allclose(np.asarray(da[:, :17]),
+                               np.asarray(da_ref[:, :17]),
+                               rtol=2e-2, atol=1e-3)
+
+
+def _spec(value_table="bf16", dkey_bf16=False):
+    return M.build_spec(
+        12, 13, 0.5,
+        encoder={"vgg": 0, "vgg_freq": -1, "vgg_low_filt": -1,
+                 "module": "LSTM", "bidirection": True,
+                 "dim": [10], "dropout": [0.0], "layer_norm": [False],
+                 "proj": [False], "sample_rate": [1], "sample_style": "drop"},
+        attention={"mode": "loc", "dim": 6, "num_head": 1,
+                   "v_proj": False, "temperature": 0.5,
+                   "loc_kernel_size": 3, "loc_kernel_num": 2},
+        decoder={"module": "LSTM", "dim": 8, "layer": 2, "dropout": 0.0},
+        value_table=value_table, dkey_bf16=dkey_bf16)
+
+
+def _loss_fn(spec, feat, feat_len, teacher, l):
+    def loss(p):
+        ctc_out, _, att_out, _, _ = M.asr_apply(
+            p, spec, feat, feat_len, l, tf_rate=1.0, teacher=teacher,
+            rng=jax.random.PRNGKey(1), train=True, sample_free=True,
+            fold_decoder=True)
+        tgt = jax.nn.one_hot(teacher, 13)
+        return (jnp.mean((jax.nn.log_softmax(att_out) * tgt).sum(-1))
+                + 0.1 * jnp.mean(ctc_out))
+    return loss
+
+
+@pytest.mark.parametrize("probe_spec",
+                         [_spec("int8"), _spec("bf16", dkey_bf16=True)],
+                         ids=["int8-table", "dkey-bf16"])
+def test_model_probe_modes_close_to_default(probe_spec):
+    """value_table='int8' and dkey_bf16=True stay within quantization
+    tolerance of the default path, end-to-end through asr_apply (CPU uses
+    the kernel's ref fallback — same numerics as the TPU kernels minus
+    convert placement)."""
+    base_spec = _spec()
+    params = M.asr_init(jax.random.PRNGKey(0), base_spec)
+    rng = np.random.default_rng(3)
+    b, t, d, l = 3, 17, 12, 7
+    feat = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    feat_len = jnp.asarray([t, t - 4, t - 7], jnp.int32)
+    teacher = jnp.asarray(rng.integers(3, 13, (b, l)), jnp.int32)
+
+    v_ref, g_ref = jax.value_and_grad(
+        _loss_fn(base_spec, feat, feat_len, teacher, l))(params)
+    v_out, g_out = jax.value_and_grad(
+        _loss_fn(probe_spec, feat, feat_len, teacher, l))(params)
+    np.testing.assert_allclose(float(v_ref), float(v_out), rtol=1e-2)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_out = jax.tree_util.tree_leaves(g_out)
+    assert len(flat_ref) == len(flat_out)
+    for (path, a), b_ in zip(flat_ref, flat_out):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=6e-2, atol=6e-3,
+            err_msg=jax.tree_util.keystr(path))
