@@ -84,6 +84,11 @@ def main():
     model_cfg = _flagship_model_cfg(1.0)
     if os.environ.get("BENCH_REMAT"):  # frontend+proj jax.checkpoint (b>=256)
         model_cfg["encoder"]["remat"] = True
+    # probe overrides for on-chip A/B (defaults live in _flagship_model_cfg)
+    if os.environ.get("BENCH_VALUE_TABLE"):
+        model_cfg["value_table"] = os.environ["BENCH_VALUE_TABLE"]
+    if os.environ.get("BENCH_DKEY_BF16"):
+        model_cfg["dkey_bf16"] = True
     spec = M.build_spec(feat_cfg.out_dim, vocab, **model_cfg)
     # bf16 Adadelta accumulators: the update is pure HBM bandwidth; parity
     # test tests/test_train_infra.py::test_optim_state_dtype_bf16

@@ -63,17 +63,57 @@ def _builtin_fbank80():
 
 
 def _builtin_apc():
-    """APC upstream: weights from $APC_CKPT (default ckpt/apc.npz)."""
+    """APC upstream: weights from $APC_CKPT (default ckpt/apc.npz).
+
+    When no checkpoint exists, one is auto-pretrained on the synthetic
+    corpus (a few hundred L1-objective steps — enough for a working,
+    loadable upstream so ``--upstream apc`` runs from a fresh clone, the
+    reference's s3prl debug recipe, script/debug/s3prl_train.sh). Point
+    $APC_CKPT at a real pretraining run (util/train_apc.py on LibriSpeech)
+    for meaningful representations."""
     from e2e_asr_pytorch_tpu.models import apc as A
     path = os.environ.get("APC_CKPT", os.path.join("ckpt", "apc.npz"))
     if not os.path.exists(path):
-        raise FileNotFoundError(
-            "APC upstream weights not found at `{}`. Pretrain them with "
-            "`python util/train_apc.py --out {}` (any LibriSpeech-layout "
-            "or synthetic corpus), or point $APC_CKPT at an existing "
-            "checkpoint.".format(path, path))
+        import sys
+        print("[upstream] no APC checkpoint at `{}` — auto-pretraining on "
+              "the synthetic corpus (~1-2 min on CPU; for real "
+              "representations run util/train_apc.py on LibriSpeech and/or "
+              "set $APC_CKPT)".format(path), file=sys.stderr)
+        _auto_pretrain_apc(path)
     params, spec = A.load_apc(path)
     return A.make_upstream(params, spec), spec.hidden
+
+
+def _auto_pretrain_apc(path: str, steps: int = 150, batch: int = 8,
+                       seconds: float = 2.0):
+    """Bootstrap a small-but-real APC checkpoint from synthetic audio."""
+    import numpy as np
+    from e2e_asr_pytorch_tpu.data.librispeech import SyntheticCorpus
+    from e2e_asr_pytorch_tpu.models import apc as A
+
+    spec = A.APCSpec(input_dim=80, hidden=512, n_layers=3)
+    corp = SyntheticCorpus(31)
+    rng = np.random.default_rng(0)
+    waves = [corp.utterance(i, int(rng.integers(4, 12)))[0]
+             for i in range(64)]
+    n_s = int(seconds * 16000)
+
+    def batches():
+        while True:
+            wav = np.zeros((batch, n_s), np.float32)
+            wav_len = np.zeros((batch,), np.int32)
+            for i in range(batch):
+                w = waves[rng.integers(len(waves))]
+                if len(w) > n_s:
+                    ofs = int(rng.integers(0, len(w) - n_s + 1))
+                    w = w[ofs:ofs + n_s]
+                wav[i, :len(w)] = w
+                wav_len[i] = min(len(w), n_s)
+            yield wav, wav_len
+
+    params = A.pretrain_apc(batches(), spec, steps, lr=1e-3, seed=0)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    A.save_apc(path, params, spec)
 
 
 _builtin_fbank80()

@@ -252,6 +252,14 @@ def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
         dec_states = jnp.swapaxes(feats_t, 0, 1) if get_dec_state else None
         return ctc_output, enc_len, att_output, att_align, dec_states
 
+    if spec.value_table != "bf16" or spec.dkey_bf16:
+        import warnings
+        warnings.warn(
+            f"value_table={spec.value_table!r}/dkey_bf16={spec.dkey_bf16} "
+            "ignored: hand-VJP decoder envelope not met (requires a 2-layer "
+            "LSTM decoder, loc/dot attention, no decoder dropout)",
+            stacklevel=2)
+
     def step(carry, xs):
         (hs, cs), prev_att = carry
         xg_emb_t, step_rng = xs
@@ -397,6 +405,17 @@ def asr_apply(params: Dict, spec: ASRSpec, feat: jnp.ndarray,
                 params, spec, cache, prev_att, dec_state0, last_emb0,
                 teacher_emb_t, step_rngs, train, get_dec_state,
                 compute_dtype, ctc_output, enc_len)
+        if spec.value_table != "bf16" or spec.dkey_bf16:
+            # the probe flags only exist inside the folded envelope (fold
+            # + pure teacher forcing + single-head LSTM, fold_vjp.FoldCfg);
+            # outside it the generic scan streams the bf16 table — warn so
+            # a benchmark can't silently measure the wrong configuration
+            import warnings
+            warnings.warn(
+                f"value_table={spec.value_table!r}/dkey_bf16="
+                f"{spec.dkey_bf16} ignored: folded decoder fast path not "
+                "taken (requires fold_decoder + pure teacher forcing + no "
+                "fusion + single-head LSTM decoder)", stacklevel=2)
 
         def step(carry, xs):
             dec_state, prev_att, last_emb = carry

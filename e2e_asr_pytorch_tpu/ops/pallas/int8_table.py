@@ -135,6 +135,16 @@ def _pad_to(x, axis, mult):
 # int8 VMEM tiles are (32,128) on the trailing two dims
 _T_MULT, _D_MULT = 32, 128
 
+# double-buffered (8,T,D) int8 blocks must fit VMEM next to the conversion
+# temps and the small operands; beyond this the pallas_call would fail at
+# compile, so the entry points fall back to the jnp path (correct, just
+# convert-bound). Flagship shape (T=320, D=2560) is ~13 MB — far inside.
+_SAFE_BLOCK_BYTES = 40 * 1024 * 1024
+
+
+def _block_fits(t: int, d: int) -> bool:
+    return 2 * _BB * t * d <= _SAFE_BLOCK_BYTES
+
 
 def pad_table(q: jnp.ndarray) -> jnp.ndarray:
     """Pad a quantized (B,T,D) table to tile alignment ONCE, outside the
@@ -195,7 +205,7 @@ def context_int8(attn2: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     attn2 (B,T) f32 — attention weights with the per-(b,t) dequant scale
     already folded in. q (B,T,D) int8. Returns (B,D) f32.
     """
-    if not (int8_available() or INTERPRET):
+    if not (int8_available() or INTERPRET) or not _block_fits(*q.shape[1:]):
         return context_int8_ref(attn2, q)
     b, t, d = attn2.shape[0], q.shape[1], q.shape[2]
     qp = pad_table(q)
@@ -210,7 +220,7 @@ def dattn_int8(dctx: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
     dctx (B,D) f32, q (B,T,D) int8. Returns (B,T) f32.
     """
-    if not (int8_available() or INTERPRET):
+    if not (int8_available() or INTERPRET) or not _block_fits(*q.shape[1:]):
         return dattn_int8_ref(dctx, q)
     b, t = dctx.shape[0], q.shape[1]
     qp = pad_table(q)
@@ -222,8 +232,11 @@ def dattn_int8(dctx: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 def context_int8_ref(attn2: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """jnp fallback with the same numerics (bf16 operands, f32 accum).
-    Accepts a pre-padded table (q's T >= attn2's T): the small operand is
-    zero-padded, matching the TPU branch's output shape (B, q_D)."""
+    Accepts a pre-padded table (pad_table pads ALL of B/T/D): the table's
+    batch is sliced down to attn2's (padded rows are zeros, so slicing is
+    exact) and the small operand's T is zero-padded, matching the TPU
+    branch's output shape (B, q_D)."""
+    q = q[:attn2.shape[0]]
     ap = _pad_to(attn2.astype(jnp.float32), 1, q.shape[1])
     return jnp.einsum("bt,btd->bd", ap.astype(jnp.bfloat16),
                       q.astype(jnp.bfloat16),
@@ -231,6 +244,7 @@ def context_int8_ref(attn2: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def dattn_int8_ref(dctx: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    q = q[:dctx.shape[0]]
     gp = _pad_to(dctx.astype(jnp.float32), 1, q.shape[2])
     return jnp.einsum("bd,btd->bt", gp.astype(jnp.bfloat16),
                       q.astype(jnp.bfloat16),

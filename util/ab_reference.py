@@ -47,7 +47,7 @@ MAX_LEN_RATIO = 0.08   # x input frames => ~28 decode steps for 3.5 s utts
 DEV_UTTS = 16
 
 
-def model_cfg(dim, layers):
+def model_cfg(dim, layers, decoder_layers=1):
     return {
         "ctc_weight": CTC_W,
         "encoder": {"vgg": 6, "vgg_freq": -1, "vgg_low_filt": -1,
@@ -58,7 +58,8 @@ def model_cfg(dim, layers):
         "attention": {"mode": "loc", "dim": 128, "num_head": 1,
                       "v_proj": False, "temperature": 0.5,
                       "loc_kernel_size": 25, "loc_kernel_num": 6},
-        "decoder": {"module": "LSTM", "dim": dim, "layer": 1, "dropout": 0.0},
+        "decoder": {"module": "LSTM", "dim": dim, "layer": decoder_layers,
+                    "dropout": 0.0},
     }
 
 
@@ -114,7 +115,7 @@ def run_reference(args, batches, dev, tok):
     from src.util import LabelSmoothingLoss      # reference loss
     from src.decode import BeamDecoder           # reference beam search
 
-    cfg = model_cfg(args.dim, args.layers)
+    cfg = model_cfg(args.dim, args.layers, args.decoder_layers)
     model = ASR(FEAT_DIM, tok.vocab_size, args.batch, **cfg)
     seq_loss = LabelSmoothingLoss(tok.vocab_size, SMOOTH)
     ctc_loss = torch.nn.CTCLoss(blank=0, zero_infinity=True)
@@ -178,7 +179,7 @@ def run_reference(args, batches, dev, tok):
 
 
 # --------------------------------------------------------------------- ours
-def run_ours(args, batches, dev, tok):
+def run_ours(args, batches, dev, tok, value_table="bf16", dkey_bf16=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -189,8 +190,9 @@ def run_ours(args, batches, dev, tok):
     from e2e_asr_pytorch_tpu.ops import losses as L
     from e2e_asr_pytorch_tpu.train import optim as O
 
-    cfg = model_cfg(args.dim, args.layers)
-    spec = M.build_spec(FEAT_DIM, tok.vocab_size, **cfg)
+    cfg = model_cfg(args.dim, args.layers, args.decoder_layers)
+    spec = M.build_spec(FEAT_DIM, tok.vocab_size, **cfg,
+                        value_table=value_table, dkey_bf16=dkey_bf16)
     params = M.asr_init(jax.random.PRNGKey(0), spec)
     tx, _ = O.build_optimizer(optimizer="Adadelta", lr=1.0, eps=1e-8,
                               lr_scheduler="fixed", grad_clip=GRAD_CLIP)
@@ -499,6 +501,88 @@ def _cer(tok, hyp_ids, ref_ids):
     return cal_er(tok, pad(hyp_ids), pad(ref_ids), mode="cer")
 
 
+def main_probe(args, batches, dev, tok, _cached):
+    """Numerics gate for value_table='int8' / dkey_bf16: ours-probe vs
+    ours-bf16 with identical init (PRNGKey(0)), identical batches, identical
+    arch — the only difference is the probed flag, so the tolerances are
+    tight: final-loss rel diff <5%, greedy/beam dev CER diff <0.05 abs.
+    The flags only act inside the folded decoder envelope, so
+    --decoder-layers 2 is required (asserted)."""
+    import functools as ft
+
+    assert args.decoder_layers == 2, \
+        "the probed flags require the folded 2-layer decoder envelope " \
+        "(pass --decoder-layers 2)"
+    mode_bits = []
+    if args.value_table != "bf16":
+        mode_bits.append(args.value_table)
+    if args.dkey_bf16:
+        mode_bits.append("dkeybf16")
+    mode = "+".join(mode_bits)
+    probe_name = "ours_" + "_".join(mode_bits)
+
+    base = _cached("ours", run_ours)
+    probe = _cached(probe_name, ft.partial(
+        run_ours, value_table=args.value_table, dkey_bf16=args.dkey_bf16))
+
+    def tail(xs, n=25):
+        return float(np.mean(xs[-n:]))
+
+    rows = {"ours (bf16 table, f32 d_key)": base,
+            "ours ({})".format(mode): probe}
+    report = {
+        "mode": mode,
+        "arch": "{}x BLSTM-{} + loc-att + 2x LSTM-{} dec + joint CTC{}"
+        .format(args.layers, args.dim, args.dim, CTC_W),
+        "steps": args.steps, "batch": args.batch,
+        "base": {"loss_last25": tail(base["loss"]),
+                 "greedy_cer": round(base["greedy_cer"], 4),
+                 "beam_cer": round(base["beam_cer"], 4)},
+        "probe": {"loss_last25": tail(probe["loss"]),
+                  "greedy_cer": round(probe["greedy_cer"], 4),
+                  "beam_cer": round(probe["beam_cer"], 4)},
+    }
+    ok = (tail(probe["loss"]) < tail(probe["loss"][:25])
+          and abs(tail(probe["loss"]) - tail(base["loss"]))
+          / max(tail(base["loss"]), 1e-6) < 0.05
+          and abs(probe["greedy_cer"] - base["greedy_cer"]) < 0.05
+          and abs(probe["beam_cer"] - base["beam_cer"]) < 0.05)
+    report["ok"] = bool(ok)
+
+    out = args.out
+    if out.endswith("AB_REPORT.md"):
+        out = out.replace("AB_REPORT.md", "AB_REPORT_{}.md".format(
+            "INT8" if args.value_table == "int8" else "DKEY"))
+    with open(out, "w") as f:
+        f.write("# A/B numerics gate: {} vs the default decoder path\n\n"
+                .format(mode))
+        f.write("Same framework, IDENTICAL init (PRNGKey(0)), identical "
+                "synthetic-tone batches and features, same arch ({}), {} "
+                "steps Adadelta — the only delta is the probed flag(s): "
+                "{}. Trained on CPU, which exercises the kernels' jnp "
+                "reference fallback (same numerics as the TPU Pallas "
+                "kernels minus convert placement).\n\n"
+                .format(report["arch"], args.steps, mode))
+        f.write("| side | loss steps 1-25 | loss last 25 | greedy dev CER |"
+                " beam-{} dev CER | wall |\n|---|---|---|---|---|---|\n"
+                .format(BEAM))
+        for name, r in rows.items():
+            f.write("| {} | {:.3f} | {:.3f} | {:.4f} | {:.4f} | {:.0f}s |\n"
+                    .format(name, tail(r["loss"][:25]), tail(r["loss"]),
+                            r["greedy_cer"], r["beam_cer"], r["wall_s"]))
+        f.write("\nVerdict: **{}** (tolerances: probe learns, final-loss "
+                "rel diff <5%, CER diffs <0.05 abs — tight because init/"
+                "data/arch are identical)\n".format("PASS" if ok else "FAIL"))
+        f.write("\nLoss curves (every 10th step):\n\n```\nstep  bf16  {}\n"
+                .format(mode))
+        for i in range(0, args.steps, 10):
+            f.write("{:4d}  {:.3f}  {:.3f}\n".format(
+                i, base["loss"][i], probe["loss"][i]))
+        f.write("```\n")
+    print(json.dumps(report))
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=250)
@@ -512,6 +596,16 @@ def main():
                     help="ignore cached per-side results")
     ap.add_argument("--lm", action="store_true",
                     help="A/B the RNNLM (perplexity parity) instead of ASR")
+    ap.add_argument("--decoder-layers", type=int, default=1,
+                    help="decoder LSTM layers (2 engages the folded hand-VJP "
+                    "envelope, the value_table/dkey_bf16 fast path)")
+    ap.add_argument("--value-table", default="bf16",
+                    choices=("bf16", "int8"),
+                    help="probe: run OUR side with the int8 attention value "
+                    "table and gate it against an ours-bf16 baseline "
+                    "(same init, same data -> tight tolerances)")
+    ap.add_argument("--dkey-bf16", action="store_true",
+                    help="probe: bf16 d_key accumulator in the decoder bwd")
     args = ap.parse_args()
 
     import jax
@@ -526,9 +620,12 @@ def main():
 
     # Each side takes hours on this 1-core host; persist per-side results so
     # an interrupted run resumes instead of repeating the surviving side.
+    dec_sfx = "_dec{}".format(args.decoder_layers) \
+        if args.decoder_layers != 1 else ""
+
     def _cached(name, fn):
-        path = os.path.join(ROOT, "log", "ab_{}_{}x{}_{}x{}.json".format(
-            name, args.steps, args.batch, args.dim, args.layers))
+        path = os.path.join(ROOT, "log", "ab_{}_{}x{}_{}x{}{}.json".format(
+            name, args.steps, args.batch, args.dim, args.layers, dec_sfx))
         if not args.fresh and os.path.exists(path):
             with open(path) as f:
                 print("loaded cached {} side from {}".format(name, path),
@@ -539,6 +636,13 @@ def main():
         with open(path, "w") as f:
             json.dump(res, f)
         return res
+
+    # ---- probe mode: gate a numerics flag (int8 value table / bf16 d_key
+    # accumulator) against an ours-bf16 baseline with IDENTICAL init and
+    # batches — the only delta is the probed numerics, so tolerances are
+    # much tighter than the cross-framework ones below
+    if args.value_table != "bf16" or args.dkey_bf16:
+        return main_probe(args, batches, dev, tok, _cached)
 
     ours = _cached("ours", run_ours)
     ref = (_cached("ref", run_reference)
