@@ -134,9 +134,14 @@ def _beam_scan(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
     v = spec.vocab_size
     l_max = cfg.max_steps
     t_enc = enc_feat.shape[1]
+    # the per-utterance key/value tables stay UN-replicated: the beam axis
+    # broadcasts against them inside attention_step_beam, so each decode step
+    # reads the tables from HBM once instead of K times (and the location
+    # operator keeps its head axis — a physically repeated cache summed K
+    # copies of the loc features via einsum broadcasting, see
+    # ops/attention.py attention_weights_step_beam)
     cache = A.precompute(params["attention"], spec.attention, enc_feat,
                          enc_len, compute_dtype)
-    cache_k = jax.tree.map(lambda x: jnp.repeat(x, k, axis=0), cache)
 
     # min/max output lengths are ratios of the INPUT feature length, not the
     # downsampled encoder length (reference src/decode.py:73-78)
@@ -180,15 +185,19 @@ def _beam_scan(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
             jnp.take_along_axis(carry["tokens"], idx_prev, axis=2)[:, :, 0],
             0)                                                    # B,K
 
-        # ---- decoder step over the flattened beam ----
+        # ---- decoder step: attention on the (B,K) beam axis, RNN flattened
         emb = params["pre_embed"][last_tok]                       # B,K,E
         dec_state_f = jax.tree.map(
             lambda x: x.reshape(x.shape[0], b * k, x.shape[-1]),
             carry["dec_state"])
-        logits, _attn, d_state_f, dec_state_f, prev_att_f = M.attend_and_decode(
-            params, spec, cache_k, emb.reshape(b * k, -1), dec_state_f,
-            carry["prev_att"].reshape((b * k,) + carry["prev_att"].shape[2:]),
-            rng=None, train=False, compute_dtype=compute_dtype)
+        query = M.dec_query(spec, dec_state_f).reshape(b, k, -1)
+        context, _attn, new_prev_att = A.attention_step_beam(
+            params["attention"], spec.attention, query, cache,
+            carry["prev_att"], compute_dtype)                     # ctx B,K,D
+        dec_in = jnp.concatenate([emb, context], -1).reshape(b * k, -1)
+        logits, d_state_f, dec_state_f = M.decoder_rnn_step(
+            params, spec, dec_in, dec_state_f, rng=None, train=False,
+            compute_dtype=compute_dtype)
         if emb_reg is not None and emb_reg.apply_fuse:
             # embedding-fusion replaces the output distribution at decode
             # time (reference src/decode.py:119-122)
@@ -198,7 +207,6 @@ def _beam_scan(params: Dict, spec: M.ASRSpec, cfg: BeamConfig,
             att_logp = jax.nn.log_softmax(logits, -1).reshape(b, k, v)
         new_dec_state = jax.tree.map(
             lambda x: x.reshape(x.shape[0], b, k, x.shape[-1]), dec_state_f)
-        new_prev_att = prev_att_f.reshape((b, k) + prev_att_f.shape[1:])
 
         cur = att_logp
 

@@ -150,6 +150,73 @@ def attention_weights_step(params: Dict, cfg: AttnConfig, query: jnp.ndarray,
     return attn, new_prev
 
 
+def attention_weights_step_beam(params: Dict, cfg: AttnConfig,
+                                query: jnp.ndarray, cache: Dict,
+                                prev_att: Optional[jnp.ndarray],
+                                compute_dtype=jnp.float32):
+    """Beam-axis attention WEIGHTS: query (B,K,q_dim), prev_att (B,K,N,T)
+    against the UN-replicated per-utterance cache (key/value (B,T,N,D),
+    mask (B,T), loc_band (N,T,T*Kn)).
+
+    The beam axis broadcasts against the tables instead of physically
+    replicating them (decode/beam.py used to jnp.repeat the whole cache K
+    times): the key/value tables are read from HBM once per step instead of
+    K times, and — the correctness half — the location operator keeps its
+    head axis. With a repeated cache, loc_band's leading axis became N*K
+    while prev_att's head axis stayed N; einsum broadcasting then SUMMED the
+    K identical copies, scaling the location features by K vs the reference
+    semantics (reference src/module.py:1151-1173 convolves the previous
+    attention once). Returns (attn (B,K,N,T), new_prev_att)."""
+    b, k = query.shape[:2]
+    t = cache["key"].shape[1]
+    q = jnp.tanh(linear(params["proj_q"], query, compute_dtype))
+    q = q.reshape(b, k, cfg.num_head, cfg.dim)                    # B,K,N,D
+
+    if cfg.mode == "dot":
+        energy = jnp.einsum("bknd,btnd->bknt", q, cache["key"],
+                            preferred_element_type=jnp.float32)
+    elif cfg.mode == "loc":
+        loc = jnp.einsum("bknt,nts->bks", prev_att.astype(compute_dtype),
+                         cache["loc_band"].astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+        loc = loc.reshape(b, k, t, cfg.loc_kernel_num)
+        loc_ctx = jnp.tanh(linear(params["loc_proj"], loc, compute_dtype))
+        # (B,K,T,N,D): key broadcast over K, query over T, loc over N
+        e_in = jnp.tanh(cache["key"][:, None] + q[:, :, None, :, :]
+                        + loc_ctx[:, :, :, None, :])
+        energy = linear(params["gen_energy"], e_in,
+                        compute_dtype)[..., 0]                    # B,K,T,N
+        energy = jnp.swapaxes(energy, 2, 3)                       # B,K,N,T
+    else:
+        raise NotImplementedError(cfg.mode)
+
+    energy = energy / cfg.temperature
+    energy = jnp.where(cache["mask"][:, None, None, :], energy, NEG_INF)
+    attn = jax.nn.softmax(energy, axis=-1)                        # B,K,N,T
+    new_prev = attn if cfg.mode == "loc" else prev_att
+    return attn, new_prev
+
+
+def attention_step_beam(params: Dict, cfg: AttnConfig, query: jnp.ndarray,
+                        cache: Dict, prev_att: Optional[jnp.ndarray],
+                        compute_dtype=jnp.float32):
+    """One beam-axis attention step: query (B,K,q_dim) -> (context
+    (B,K,v_dim or merged), attn (B,K,N,T), new_prev_att). The context
+    reduction contracts the (B,T,N,D) value table ONCE for all K beams."""
+    b, k = query.shape[:2]
+    attn, new_prev = attention_weights_step_beam(params, cfg, query, cache,
+                                                 prev_att, compute_dtype)
+    context = jnp.einsum("bknt,btnd->bknd", attn, cache["value"],
+                         preferred_element_type=jnp.float32)
+    if cfg.num_head > 1:
+        context = linear(params["merge_head"],
+                         context.reshape(b, k, cfg.num_head * cfg.v_dim),
+                         compute_dtype)
+    else:
+        context = context[:, :, 0, :]
+    return context, attn, new_prev
+
+
 def attention_step(params: Dict, cfg: AttnConfig, query: jnp.ndarray,
                    cache: Dict, prev_att: Optional[jnp.ndarray],
                    compute_dtype=jnp.float32):

@@ -120,3 +120,47 @@ def test_beam_deterministic(model, batch):
     b = beam_decode(params, spec, cfg, feat, feat_len)
     np.testing.assert_array_equal(np.asarray(a["tokens"]),
                                   np.asarray(b["tokens"]))
+
+
+@pytest.mark.parametrize("mode,num_head", [("loc", 1), ("loc", 2),
+                                           ("dot", 1)])
+def test_beam_attention_matches_single_row(mode, num_head):
+    """attention_step_beam against the UN-replicated cache must equal
+    attention_step run row-by-row. Regression for the replicated-cache bug:
+    jnp.repeat'ing the whole cache K times also repeated loc_band's HEAD
+    axis, and einsum broadcasting then SUMMED the K identical copies —
+    scaling the location features K-fold vs the reference semantics
+    (reference src/module.py:1151-1173 convolves prev_att once)."""
+    from e2e_asr_pytorch_tpu.ops import attention as A
+
+    cfg = A.AttnConfig(mode=mode, dim=8, num_head=num_head, temperature=0.5,
+                       v_proj=False, v_dim=12, q_dim=16,
+                       loc_kernel_size=3, loc_kernel_num=2)
+    params = A.attention_init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(4)
+    b, t, k = 2, 11, 3
+    enc = jnp.asarray(rng.standard_normal((b, t, 12)), jnp.float32)
+    enc_len = jnp.asarray([t, t - 4], jnp.int32)
+    cache = A.precompute(params, cfg, enc, enc_len)
+    query = jnp.asarray(rng.standard_normal((b, k, 16)), jnp.float32)
+    prev = jnp.repeat(A.init_prev_att(enc_len, t, num_head)[:, None], k,
+                      axis=1)                                      # B,K,N,T
+    # distinct per-beam prev_att so the loc path is exercised non-trivially
+    if mode == "loc":
+        noise = jnp.asarray(rng.uniform(0.5, 1.5, prev.shape), jnp.float32)
+        prev = prev * noise
+        prev = prev / jnp.sum(prev, -1, keepdims=True)
+
+    ctx_b, attn_b, _ = A.attention_step_beam(params, cfg, query, cache, prev)
+    for i in range(b):
+        for j in range(k):
+            cache_1 = {kk: (vv if kk == "loc_band" else vv[i:i + 1])
+                       for kk, vv in cache.items()}
+            ctx_1, attn_1, _ = A.attention_step(
+                params, cfg, query[i:i + 1, j], cache_1, prev[i:i + 1, j])
+            np.testing.assert_allclose(np.asarray(ctx_b[i, j]),
+                                       np.asarray(ctx_1[0]),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(attn_b[i, j]),
+                                       np.asarray(attn_1[0]),
+                                       rtol=1e-5, atol=1e-6)
