@@ -27,8 +27,12 @@ def _make_audio_ds(name: str, path: str, split, tokenizer, text_mode,
         return corpus_lib.load_librispeech(path, split, tokenizer, text_mode,
                                            ascending=ascending, subset=subset)
     if name == "synthetic":
-        # distinct splits get distinct generator seeds
-        split_seed = abs(hash(tuple(split))) % 10007
+        # distinct splits get distinct generator seeds — via a DETERMINISTIC
+        # hash: Python's str hash is randomized per process, which would give
+        # every process (multi-host!) and every run a different synthetic
+        # corpus
+        import zlib
+        split_seed = zlib.crc32("|".join(split).encode()) % 10007
         return corpus_lib.load_synthetic(tokenizer, ascending=ascending,
                                          subset=subset, seed=split_seed,
                                          **extra)

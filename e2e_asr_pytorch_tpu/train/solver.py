@@ -143,6 +143,24 @@ class BaseSolver(abc.ABC):
                     if hasattr(v, "shape") else v)
                 for k, v in data.items()}
 
+    def to_host(self, x) -> np.ndarray:
+        """Device array -> host numpy. Multi-host: the batch axis spans
+        processes, so np.asarray on the global array raises; gather it
+        first (these are logging / decode-output paths — small tensors,
+        every host receives the full array)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    def host_slice(self, x: np.ndarray, n_local: int) -> np.ndarray:
+        """This host's contiguous row slice of a gathered global batch
+        (mirrors AudioBatchIterator host_rows). Single-process: identity."""
+        if jax.process_count() > 1:
+            p = jax.process_index()
+            return x[p * n_local:(p + 1) * n_local]
+        return x
+
     # ------------------------------------------------------------------ io
     def verbose(self, msg):
         self.log.verbose(msg)
@@ -160,6 +178,8 @@ class BaseSolver(abc.ABC):
         # overlaps the next train steps (one writer, atomic os.replace) —
         # the reference blocks training for the whole torch.save
         # (src/solver.py:176-200)
+        if jax.process_index() != 0:
+            return  # multi-host: one writer (params are replicated anyway)
         path = os.path.join(self.ckpdir, fname)
         if not hasattr(self, "_ckpt_writer"):
             self._ckpt_writer = ckpt_lib.AsyncCheckpointWriter()

@@ -151,8 +151,9 @@ class Solver(BaseSolver):
                                 decode_step, emb_reg=self.emb_reg,
                                 emb_params=emb_params,
                                 compute_dtype=self.compute_dtype)
-            toks = np.asarray(out["att_tokens"] if "att_tokens" in out
-                              else out["ctc_tokens"])
+            toks = self.host_slice(
+                self.to_host(out["att_tokens"] if "att_tokens" in out
+                             else out["ctc_tokens"]), len(names))
             ctc_mode = "att_tokens" not in out
             with open(out_path, "a") as f:
                 for name, hyp_ids, truth in zip(names, toks, truths):
@@ -191,7 +192,8 @@ class Solver(BaseSolver):
                               self.lm_params, self.lm_spec,
                               emb_reg=self.emb_reg, emb_params=emb_params,
                               compute_dtype=self.compute_dtype)
-        tokens = np.asarray(out["tokens"])      # B,K,L
+        tokens = self.host_slice(self.to_host(out["tokens"]),
+                                 len(names))    # B,K,L
         with open(out_path, "a") as f, open(beam_path, "a") as fb:
             for bi, (name, truth) in enumerate(zip(names, truths)):
                 hyps = [self.tokenizer.decode(tokens[bi, ki].tolist())

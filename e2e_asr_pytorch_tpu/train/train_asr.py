@@ -288,17 +288,20 @@ class Solver(BaseSolver):
                     self.progress("Tr stat | Loss - {:.2f} | Grad. Norm - {:.2f} | {}"
                                   .format(total_v, gnorm_v, self.timer.show()))
                     n_real = _n_real(data)
+                    n_local = data["txt"].shape[0]
                     txt_np = data["txt"][:n_real]
                     self.write_log("emb_loss", {"tr": _opt(metrics["emb"])})
                     if att_out is not None:
-                        att_np = np.asarray(att_out)[:n_real]
+                        att_np = self.host_slice(self.to_host(att_out),
+                                                 n_local)[:n_real]
                         self.write_log("loss", {"tr_att": _opt(metrics["att"])})
                         self.write_log(self.WER, {"tr_att": cal_er(
                             self.tokenizer, att_np, txt_np, mode=self.WER)})
                         self.write_log("cer", {"tr_att": cal_er(
                             self.tokenizer, att_np, txt_np, mode="cer")})
                     if ctc_out is not None and use_ctc:
-                        ctc_np = np.asarray(ctc_out)[:n_real]
+                        ctc_np = self.host_slice(self.to_host(ctc_out),
+                                                 n_local)[:n_real]
                         self.write_log("loss", {"tr_ctc": _opt(metrics["ctc"])})
                         self.write_log(self.WER, {"tr_ctc": cal_er(
                             self.tokenizer, ctc_np, txt_np, mode=self.WER, ctc=True)})
@@ -341,14 +344,17 @@ class Solver(BaseSolver):
                 self.params, dev["wav"], dev["wav_len"], dev["txt"],
                 dev["txt_len"], decode_step)
             n_real = _n_real(data)
+            n_local = data["txt"].shape[0]
             txt_np = data["txt"][:n_real]
             if att_out is not None:
-                att_np = np.asarray(att_out)[:n_real]
+                att_np = self.host_slice(self.to_host(att_out),
+                                         n_local)[:n_real]
                 dev_wer["att"].append(cal_er(self.tokenizer, att_np, txt_np, mode="wer"))
                 dev_cer["att"].append(cal_er(self.tokenizer, att_np, txt_np, mode="cer"))
                 dev_er["att"].append(cal_er(self.tokenizer, att_np, txt_np, mode=self.val_mode))
             if ctc_out is not None:
-                ctc_np = np.asarray(ctc_out)[:n_real]
+                ctc_np = self.host_slice(self.to_host(ctc_out),
+                                         n_local)[:n_real]
                 dev_wer["ctc"].append(cal_er(self.tokenizer, ctc_np, txt_np, mode="wer", ctc=True))
                 dev_cer["ctc"].append(cal_er(self.tokenizer, ctc_np, txt_np, mode="cer", ctc=True))
                 dev_er["ctc"].append(cal_er(self.tokenizer, ctc_np, txt_np, mode=self.val_mode, ctc=True))
@@ -360,7 +366,9 @@ class Solver(BaseSolver):
                                        self.tokenizer.decode(txt_np[j].tolist()))
                     if att_out is not None:
                         self.write_log("att_align_{}_{}".format(name, j),
-                                       feat_to_fig(np.asarray(att_align)[j, 0]))
+                                       feat_to_fig(self.host_slice(
+                                           self.to_host(att_align),
+                                           n_local)[j, 0]))
                         self.write_log("att_text_{}_{}".format(name, j),
                                        self.tokenizer.decode(
                                            att_np[j].argmax(-1).tolist()))

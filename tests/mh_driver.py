@@ -1,0 +1,79 @@
+"""Multi-host driver: run the REAL ASR train solver under
+jax.distributed.initialize and dump the final parameters.
+
+Spawned by tests/test_multihost.py as N separate OS processes (localhost
+gloo coordinator, 2 virtual CPU devices per process). Each process decodes
+only its host_rows slice of every global batch (data/batching.py) and
+Solver.put_batch assembles the global array via
+jax.make_array_from_process_local_data — the multi-host input path that a
+single-process run never exercises.
+
+Usage: python tests/mh_driver.py <process_id> <num_processes> <port> <outdir>
+"""
+
+import os
+import sys
+
+PID = int(sys.argv[1])
+NPROC = int(sys.argv[2])
+PORT = sys.argv[3]
+OUTDIR = sys.argv[4]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+if NPROC > 1:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + PORT,
+                               num_processes=NPROC, process_id=PID)
+
+import copy  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from e2e_asr_pytorch_tpu.train.train_asr import Solver  # noqa: E402
+from e2e_asr_pytorch_tpu.utils.config import Paras  # noqa: E402
+
+from tests.test_integration import TINY_ASR  # noqa: E402
+
+
+def main():
+    cfg = copy.deepcopy(TINY_ASR)
+    cfg["hparas"]["max_step"] = 3
+    # skip validation: the dev decode/CER path pulls hypotheses to the host,
+    # which is exercised single-process elsewhere; this test pins the
+    # multi-process INPUT + collective path of the training loop
+    cfg["hparas"]["valid_step"] = 100
+
+    base = os.path.join(OUTDIR, "p{}".format(PID))
+    paras = Paras(config="unused", name="mh{}".format(NPROC),
+                  logdir=os.path.join(base, "log"),
+                  ckpdir=os.path.join(base, "ckpt"),
+                  outdir=os.path.join(base, "out"),
+                  njobs=0, cpu=True, verbose=False)
+    solver = Solver(cfg, paras, "train")
+    solver.load_data()
+    batch = next(iter(solver.tr_set))
+    solver.set_model()
+    solver.exec()
+
+    if PID == 0:
+        leaves = jax.tree.leaves(solver.params)
+        # params are replicated: read the first addressable shard
+        flat = {"leaf{}".format(i): np.asarray(l.addressable_data(0))
+                for i, l in enumerate(leaves)}
+        # also record this host's local row count (proves the slicing ran)
+        flat["local_rows"] = np.asarray([batch["wav"].shape[0]])
+        np.savez(os.path.join(OUTDIR, "params_n{}.npz".format(NPROC)), **flat)
+    print("mh_driver done pid={} nproc={} devices={}".format(
+        PID, NPROC, len(jax.devices())), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Multi-host (2 OS processes) training parity through the REAL solver.
+
+Until round 5 the multi-host input path (AudioBatchIterator host_rows +
+Solver.put_batch's jax.make_array_from_process_local_data) had only been
+exercised by a single-process concat-identity test. This test runs
+Solver.exec() under an actual jax.distributed.initialize deployment:
+2 processes x 2 virtual CPU devices, localhost gloo coordinator — per-host
+row slicing, DCN-style global-array assembly, and GSPMD data-parallel
+collectives across process boundaries — and asserts the resulting
+parameters match a single-process run of the same recipe.
+
+TPU-equivalent of: one process per TPU host feeding its local chips
+(SURVEY.md §2.2 multi-host row; the reference is single-process,
+single-GPU — main.py has no distributed init at all).
+"""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # nightly tier: pytest -m slow
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER = os.path.join(ROOT, "tests", "mh_driver.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run(nproc, outdir, timeout=900):
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen(
+        [sys.executable, DRIVER, str(pid), str(nproc), port, outdir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(nproc)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, "driver failed:\n" + out[-4000:]
+    path = os.path.join(outdir, "params_n{}.npz".format(nproc))
+    assert os.path.exists(path), "driver produced no params dump"
+    return dict(np.load(path))
+
+
+def test_two_process_train_matches_single(tmp_path):
+    out = str(tmp_path)
+    multi = _run(2, out)
+    single = _run(1, out)
+    # each of the 2 hosts decoded HALF the (mesh-padded) global batch
+    assert int(multi["local_rows"][0]) * 2 == int(single["local_rows"][0])
+    keys = sorted(k for k in single if k.startswith("leaf"))
+    assert keys and sorted(k for k in multi if k.startswith("leaf")) == keys
+    for k in keys:
+        np.testing.assert_allclose(multi[k], single[k], rtol=2e-4, atol=2e-5,
+                                    err_msg=k)

@@ -1,0 +1,111 @@
+"""Export this framework's ASR/LM parameters into the reference's torch
+models (state_dict form), so the reference's OWN code can run with
+IDENTICAL weights.
+
+Used by util/ab_fused_decode.py to A/B the flagship decode semantics —
+LM-fused, CTC-rescored beam search — against the reference's BeamDecoder
+(reference: src/decode.py:14-281) with the model numerics held fixed: any
+disagreement is then attributable to the SEARCH, not to training noise.
+
+Scope (the shapes the A/B uses — asserts otherwise): vgg in (0, 6) (no conv
+weights), (B)LSTM encoder with optional tanh-Linear proj, single- or
+multi-head loc/dot attention, v_proj False, LSTM decoder, tied/untied LSTM
+RNNLM. Weight-layout map (mine -> torch):
+
+  lstm_init w_x (in,4H)   -> nn.LSTM weight_ih_l0 (4H,in) = w_x.T
+           w_h (H,4H)     -> weight_hh_l0 = w_h.T
+           b (4H,)        -> bias_ih_l0 (bias_hh_l0 = 0); gate order (i,f,g,o)
+                             matches torch on both sides
+  espnet_linear {w (in,out), b} -> nn.Linear weight = w.T, bias = b
+  loc_conv w (kw,N,Kn)    -> nn.Conv1d weight (Kn,N,kw) = transpose(2,1,0)
+                             (band construction indexes taps exactly like
+                             torch's cross-correlation — ops/attention.py
+                             loc_band_matrix)
+"""
+
+import numpy as np
+
+
+def _t(w):
+    return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+
+def _a(w):
+    return np.ascontiguousarray(np.asarray(w, np.float32))
+
+
+def _lstm_dir(sd, prefix, layer, p, suffix=""):
+    import torch
+    sd["{}.weight_ih_l{}{}".format(prefix, layer, suffix)] = \
+        torch.from_numpy(_t(p["w_x"]))
+    sd["{}.weight_hh_l{}{}".format(prefix, layer, suffix)] = \
+        torch.from_numpy(_t(p["w_h"]))
+    sd["{}.bias_ih_l{}{}".format(prefix, layer, suffix)] = \
+        torch.from_numpy(_a(p["b"]))
+    sd["{}.bias_hh_l{}{}".format(prefix, layer, suffix)] = \
+        torch.from_numpy(np.zeros_like(_a(p["b"])))
+
+
+def _linear(sd, prefix, p, bias=True):
+    import torch
+    sd[prefix + ".weight"] = torch.from_numpy(_t(p["w"]))
+    if bias:
+        sd[prefix + ".bias"] = torch.from_numpy(_a(p["b"]))
+
+
+def export_asr_state_dict(params, spec):
+    """My ASR params -> reference src.asr.ASR state_dict."""
+    import torch
+    enc = spec.encoder
+    fe = enc.frontend
+    assert fe is None or fe.vgg == 6, "only conv-free frontends exported"
+    assert enc.module == "LSTM" and spec.decoder.module == "LSTM"
+    assert not spec.attention.v_proj
+    sd = {}
+    # encoder: layers[0] is the (weight-free) Downsampler when vgg=6
+    off = 1 if fe is not None else 0
+    for l, p in enumerate(params["encoder"]["layers"]):
+        pre = "encoder.layers.{}.layer".format(l + off)
+        _lstm_dir(sd, pre, 0, p["fw"])
+        if "bw" in p:
+            _lstm_dir(sd, pre, 0, p["bw"], suffix="_reverse")
+        if "pj" in p:
+            _linear(sd, "encoder.layers.{}.pj".format(l + off), p["pj"])
+        if "ln" in p:
+            import torch
+            sd["encoder.layers.{}.ln.weight".format(l + off)] = \
+                torch.from_numpy(_a(p["ln"]["scale"]))
+            sd["encoder.layers.{}.ln.bias".format(l + off)] = \
+                torch.from_numpy(_a(p["ln"]["bias"]))
+    if "ctc_layer" in params:
+        _linear(sd, "ctc_layer.0", params["ctc_layer"])
+    if "pre_embed" in params:
+        sd["pre_embed.weight"] = torch.from_numpy(_a(params["pre_embed"]))
+        for j, p in enumerate(params["decoder"]["layers"]):
+            _lstm_dir(sd, "decoder.layers", j, p)
+        _linear(sd, "decoder.char_trans", params["decoder"]["char_trans"])
+        ap = params["attention"]
+        _linear(sd, "attention.proj_q", ap["proj_q"])
+        _linear(sd, "attention.proj_k", ap["proj_k"])
+        if spec.attention.mode == "loc":
+            sd["attention.att_layer.loc_conv.weight"] = torch.from_numpy(
+                np.ascontiguousarray(np.transpose(
+                    np.asarray(ap["loc_conv"]["w"], np.float32), (2, 1, 0))))
+            sd["attention.att_layer.loc_proj.weight"] = torch.from_numpy(
+                _t(ap["loc_proj"]["w"]))
+            _linear(sd, "attention.att_layer.gen_energy", ap["gen_energy"])
+        if spec.attention.num_head > 1:
+            _linear(sd, "attention.merge_head", ap["merge_head"])
+    return sd
+
+
+def export_lm_state_dict(params, spec):
+    """My RNNLM params -> reference src.lm.RNNLM state_dict."""
+    import torch
+    assert spec.module == "LSTM"
+    sd = {"emb.weight": torch.from_numpy(_a(params["emb"]))}
+    for j, p in enumerate(params["rnn"]):
+        _lstm_dir(sd, "rnn", j, p)
+    if not spec.emb_tying:
+        _linear(sd, "trans", params["trans"])
+    return sd
