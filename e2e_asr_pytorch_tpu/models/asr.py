@@ -252,7 +252,7 @@ def _apply_folded(params, spec, cache, prev_att0, dec_state0, last_emb0,
         dec_states = jnp.swapaxes(feats_t, 0, 1) if get_dec_state else None
         return ctc_output, enc_len, att_output, att_align, dec_states
 
-    if spec.value_table != "bf16" or spec.dkey_bf16:
+    if train and (spec.value_table != "bf16" or spec.dkey_bf16):
         import warnings
         warnings.warn(
             f"value_table={spec.value_table!r}/dkey_bf16={spec.dkey_bf16} "
@@ -405,11 +405,13 @@ def asr_apply(params: Dict, spec: ASRSpec, feat: jnp.ndarray,
                 params, spec, cache, prev_att, dec_state0, last_emb0,
                 teacher_emb_t, step_rngs, train, get_dec_state,
                 compute_dtype, ctc_output, enc_len)
-        if spec.value_table != "bf16" or spec.dkey_bf16:
-            # the probe flags only exist inside the folded envelope (fold
+        if train and (spec.value_table != "bf16" or spec.dkey_bf16):
+            # the perf flags only exist inside the folded envelope (fold
             # + pure teacher forcing + single-head LSTM, fold_vjp.FoldCfg);
             # outside it the generic scan streams the bf16 table — warn so
-            # a benchmark can't silently measure the wrong configuration
+            # a benchmark can't silently measure the wrong configuration.
+            # Scoped to train: at decode time the flags are inert by design
+            # (no teacher), not misconfigured.
             import warnings
             warnings.warn(
                 f"value_table={spec.value_table!r}/dkey_bf16="
