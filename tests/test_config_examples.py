@@ -130,3 +130,18 @@ def test_bpe_trainer_emits_loadable_vocab(tmp_path):
         tok = load_text_encoder("subword", out)
     ids = tok.encode("HELLO WORLD")
     assert tok.decode(ids) == "HELLO WORLD"
+
+
+@pytest.mark.parametrize("path", _asr_configs())
+def test_perf_flags_only_in_folded_envelope(path):
+    """Configs that enable the decode-scan perf flags (value_table='int8' /
+    dkey_bf16) must satisfy the folded-decoder envelope's STATIC conditions
+    (single-head attention + LSTM decoder, models/asr.py:401-403) — outside
+    it the flags are silently inert at train time (a warning, not an error),
+    so config drift here would quietly demote the flagship recipe to the
+    bf16 path and invalidate the published bench numbers."""
+    cfg = _load(path)["model"]
+    if cfg.get("value_table", "bf16") == "bf16" and not cfg.get("dkey_bf16"):
+        pytest.skip("no perf flags set")
+    assert cfg["decoder"]["module"] == "LSTM"
+    assert cfg["attention"].get("num_head", 1) == 1
