@@ -62,6 +62,18 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # Refuse the silent CPU fallback: when the tunneled chip is down, JAX
+    # happily initializes the CPU backend and the flagship step would grind
+    # for hours on this 1-core host — the driver's window would expire with
+    # no artifact at all. Raising in the retry wrapper's transient form
+    # instead re-dials the tunnel a few times and then fails fast.
+    if jax.devices()[0].platform != "tpu" and not os.environ.get(
+            "BENCH_ALLOW_CPU"):
+        raise RuntimeError(
+            "Unable to initialize backend 'tpu': devices are {} — refusing "
+            "the CPU fallback (set BENCH_ALLOW_CPU=1 to override)".format(
+                jax.devices()))
+
     from __graft_entry__ import _flagship_model_cfg
     from e2e_asr_pytorch_tpu.models import asr as M
     from e2e_asr_pytorch_tpu.ops import ctc as ctc_ops

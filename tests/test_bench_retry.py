@@ -57,3 +57,19 @@ def test_reraises_real_errors_immediately():
     with pytest.raises(ValueError):
         bench._run_with_backend_retry(real_bug, attempts=5, delay_s=0.0)
     assert calls["n"] == 1
+
+
+def test_refuses_cpu_fallback(monkeypatch):
+    # Tunnel down -> JAX silently falls back to the CPU backend; bench must
+    # raise in the retry wrapper's transient form instead of grinding the
+    # flagship step on the 1-core host past the driver's window.
+    import types
+
+    bench = _load_bench()
+    import jax
+
+    monkeypatch.delenv("BENCH_ALLOW_CPU", raising=False)
+    monkeypatch.setattr(
+        jax, "devices", lambda *a: [types.SimpleNamespace(platform="cpu")])
+    with pytest.raises(RuntimeError, match="Unable to initialize backend"):
+        bench.main()
